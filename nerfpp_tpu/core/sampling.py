@@ -1,0 +1,139 @@
+"""Sampling along rays: z-value generation, stratified perturbation, hierarchical
+inverse-CDF importance sampling, cone scattering and reflective boundaries.
+
+Re-designs, with explicit PRNG keys instead of ambient RNG state:
+- z-value generation + stratified perturb  (reference NeRFRenderer.h:393-417)
+- sample_pdf                               (reference Sampler.h:6-43)
+- tangent_scatter cone sampling            (reference NeRFRenderer.h:307-362)
+- reflect_boundary                         (reference NeRFRenderer.h:285-304)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _safe_inv(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    return jnp.where(jnp.abs(x) < eps, jnp.ones_like(x) / eps, 1.0 / x)
+
+
+def sample_z_vals(near: jnp.ndarray, far: jnp.ndarray, n_samples: int,
+                  lin_disp: bool = False, perturb: float = 0.0,
+                  key: jax.Array | None = None) -> jnp.ndarray:
+    """Per-ray sample depths.
+
+    near/far: [n_rays, 1]. Returns z_vals [n_rays, n_samples], linear in depth or
+    (safe-inverse) linear in disparity, optionally stratified-jittered within each
+    bin (intervals below 1e-8 are left unjittered, as in NeRFRenderer.h:413-416).
+    """
+    t_vals = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)
+    if not lin_disp:
+        z_vals = near * (1.0 - t_vals) + far * t_vals
+    else:
+        z_vals = _safe_inv(_safe_inv(near) * (1.0 - t_vals) + _safe_inv(far) * t_vals)
+
+    if perturb > 0.0:
+        if key is None:
+            raise ValueError("perturb > 0 requires a PRNG key")
+        mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        upper = jnp.concatenate([mids, z_vals[..., -1:]], axis=-1)
+        lower = jnp.concatenate([z_vals[..., :1], mids], axis=-1)
+        intervals = upper - lower
+        t_rand = jax.random.uniform(key, z_vals.shape, dtype=jnp.float32)
+        z_vals = lower + jnp.where(intervals > 1e-8, intervals * t_rand, 0.0)
+    return z_vals
+
+
+def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
+               det: bool = False, key: jax.Array | None = None) -> jnp.ndarray:
+    """Hierarchical importance sampling by inverting the weights CDF.
+
+    bins: [n_rays, m] bin edges (z midpoints), weights: [n_rays, m-1].
+    Returns [n_rays, n_samples] new sample positions. Mirrors Sampler.h:6-43:
+    +1e-8 weight floor, CDF with zero prefix, right-bisect ``searchsorted``,
+    degenerate bins (cdf span < 1e-5) fall back to the lower edge.
+    """
+    weights = weights + 1e-8
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [n_rays, m]
+
+    u_shape = cdf.shape[:-1] + (n_samples,)
+    if det:
+        u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32), u_shape)
+    else:
+        if key is None:
+            raise ValueError("stochastic sample_pdf requires a PRNG key")
+        u = jax.random.uniform(key, u_shape, dtype=jnp.float32)
+
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.maximum(0, inds - 1)
+    above = jnp.minimum(cdf.shape[-1] - 1, inds)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), axis=-1)
+    bins_above = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)
+
+
+def reflect_boundary(pts: jnp.ndarray, min_bound: jnp.ndarray,
+                     max_bound: jnp.ndarray) -> jnp.ndarray:
+    """Fold points back into the box by mirror reflection at the faces.
+
+    Used by stochastic preconditioning so perturbed points stay in the scene bbox
+    (NeRFRenderer.h:285-304).
+    """
+    normalized = (pts - min_bound) / (max_bound - min_bound)
+    x = jnp.mod(normalized, 2.0)
+    x = jnp.where(x > 1.0, 2.0 - x, x)
+    return x * (max_bound - min_bound) + min_bound
+
+
+def tangent_scatter(pts: jnp.ndarray, z_vals: jnp.ndarray, cone_angle,
+                    rays_d: jnp.ndarray, key: jax.Array,
+                    bounding_box: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Jitter each sample inside its pixel-footprint cone (anti-aliasing).
+
+    pts: [n_rays, n_samples, 3]; z_vals: [n_rays, n_samples]; cone_angle: scalar
+    (or per-ray [n_rays, 1]); rays_d: [n_rays, 3]. The offset is uniform over the
+    disk of radius cone_angle*z perpendicular to the ray, via an orthonormal
+    tangent basis built from the smallest-|d| axis (NeRFRenderer.h:307-362).
+    Pass cone_angle=None for thin rays (no-op).
+    """
+    if cone_angle is None:
+        return pts
+
+    def safe_normalize(v, eps=1e-8):
+        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+
+    n_rays, n_samples = z_vals.shape
+    cone_radii = jnp.asarray(cone_angle) * z_vals  # [n_rays, n_samples]
+    d = safe_normalize(rays_d)
+
+    abs_d = jnp.abs(d)
+    mask_x = (abs_d[..., 0] < abs_d[..., 1]) & (abs_d[..., 0] < abs_d[..., 2])
+    mask_y = (abs_d[..., 1] < abs_d[..., 0]) & (abs_d[..., 1] < abs_d[..., 2])
+    ex = jnp.array([1.0, 0.0, 0.0], jnp.float32)
+    ey = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    ez = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+    up = jnp.where(mask_x[..., None], ex, jnp.where(mask_y[..., None], ey, ez))
+
+    tangent = safe_normalize(jnp.cross(d, up))
+    bitangent = safe_normalize(jnp.cross(d, tangent))
+
+    kr, kt = jax.random.split(key)
+    r = jnp.sqrt(jnp.clip(jax.random.uniform(kr, (n_rays, n_samples, 1)), 1e-8, 1.0 - 1e-8))
+    theta = jax.random.uniform(kt, (n_rays, n_samples, 1)) * 2.0 * jnp.pi
+    offset = tangent[:, None, :] * (r * jnp.cos(theta)) + bitangent[:, None, :] * (r * jnp.sin(theta))
+
+    pts = pts + offset * cone_radii[..., None]
+    if bounding_box is not None:
+        min_bound = bounding_box[:3]
+        max_bound = bounding_box[3:]
+        pts = jnp.clip(pts, min_bound, max_bound)
+    return pts

@@ -1,0 +1,248 @@
+"""Multiresolution hash-grid encoding (instant-NGP style) in pure JAX.
+
+TPU-native re-design of both reference variants:
+
+- ``scheme="fixed"``: the CPU/LibTorch ``HashEmbedder`` (NeRF.cpp:208-318) —
+  per-level resolution floor(base * b^l) with b = exp((ln finest - ln base)/(L-1)),
+  voxel corners hashed with the fixed instant-NGP prime triplet
+  xor(x*1, y*2654435761, z*805459861) & (2^T - 1).
+- ``scheme="random"``: the CUDA ``CuHashEmbedder`` (CuHashEmbedder.cu:9-102,
+  .cpp:10-79) — exp-spaced level scale exp2(lerp(log2 base, log2 finest, l/(L-1)))
+  applied to bbox-normalized coordinates, per-level *random* prime triplets drawn
+  from [2^28, 2^30), hash (x*pa ^ y*pb ^ z*pc) % local_size with
+  local_size = (2^T >> 4) << 4.
+
+Both variants share one flat feature table [n_levels * level_size, F] (one
+parameter, uniform-init ±1e-4) and 8-corner trilinear interpolation. The whole
+encoder is a pure function of (params, points): no stashed query state, no
+stateful autograd hack (cf. CuHashEmbedder.cpp:96-98) — the backward pass is
+XLA's scatter-add through the gather, or the Pallas kernel in
+nerfpp_tpu/pallas/hash_encode.py on TPU.
+
+The table is fp32 by default; the CUDA reference stores fp16 with a 128x loss
+scale (CuHashEmbedder.cu:293) — on TPU the analogous memory saving is bf16,
+which needs no loss scale (wider exponent). Enable with ``table_dtype``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# Fixed primes of the CPU variant (NeRF.cpp:232); index 0..6 for up to 7-D coords.
+FIXED_PRIMES = (1, 2654435761, 805459861, 3674653429, 2097192037, 1434869437, 2165219737)
+
+# 8 voxel-corner offsets in the reference's bit order (z fastest): index d has
+# bits (x, y, z) = (d>>2 & 1, d>>1 & 1, d & 1), matching BOX_OFFSETS / the CUDA
+# kernel's pos_000..pos_111 ordering.
+_CORNER_OFFSETS = np.array(
+    [[(d >> 2) & 1, (d >> 1) & 1, d & 1] for d in range(8)], np.int64)
+
+
+def _is_prime(n: int) -> bool:
+    if n < 2:
+        return False
+    i = 2
+    while i * i <= n:
+        if n % i == 0:
+            return False
+        i += 1
+    return True
+
+
+def draw_random_primes(seed: int, n_levels: int) -> np.ndarray:
+    """Per-level random prime triplets from [2^28, 2^30) (CuHashEmbedder.cpp:37-52)."""
+    rng = np.random.RandomState(seed)
+    primes = []
+    while len(primes) < 3 * n_levels:
+        val = int(rng.randint(1 << 28, 1 << 30))
+        if _is_prime(val):
+            primes.append(val)
+    return np.asarray(primes, np.uint32).reshape(n_levels, 3)
+
+
+class HashGridEncoder:
+    """Stateless multiresolution hash encoder; parameters live in a pytree.
+
+    Args:
+      bounding_box: [6] = (min_xyz, max_xyz) scene AABB (static numpy).
+      n_levels / n_features_per_level / log2_hashmap_size / base_resolution /
+      finest_resolution: instant-NGP hyperparameters (defaults mirror
+      NeRFExecutorParams, NeRFExecutor.h:50-54).
+      scheme: "fixed" (CPU-variant hashing, deterministic) or "random"
+      (CUDA-variant hashing with random primes).
+    """
+
+    def __init__(self, bounding_box, n_levels: int = 16,
+                 n_features_per_level: int = 2, log2_hashmap_size: int = 19,
+                 base_resolution: int = 16, finest_resolution: int = 512,
+                 scheme: str = "fixed", primes_seed: int = 0,
+                 table_dtype=jnp.float32, use_pallas: bool = False):
+        if scheme not in ("fixed", "random"):
+            raise ValueError(f"unknown hash scheme {scheme!r}")
+        self.bounding_box = np.asarray(bounding_box, np.float32).reshape(6)
+        self.n_levels = n_levels
+        self.n_features_per_level = n_features_per_level
+        self.log2_hashmap_size = log2_hashmap_size
+        self.base_resolution = base_resolution
+        self.finest_resolution = finest_resolution
+        self.scheme = scheme
+        self.table_dtype = table_dtype
+        self.use_pallas = use_pallas
+        self.output_dims = n_levels * n_features_per_level
+
+        if scheme == "fixed":
+            # Per-level integer resolutions floor(base * b^l) (NeRF.cpp:251, 309).
+            b = np.exp((np.log(finest_resolution) - np.log(base_resolution))
+                       / max(n_levels - 1, 1))
+            self.resolutions = np.floor(
+                base_resolution * b ** np.arange(n_levels)).astype(np.int64)
+            self.level_size = 1 << log2_hashmap_size
+            self.primes = None
+            self.level_scales = None
+        else:
+            # Exp-spaced scale, hit exactly at both ends (CuHashEmbedder.cu:40).
+            l = np.arange(n_levels, dtype=np.float64)
+            log2b, log2f = np.log2(base_resolution), np.log2(finest_resolution)
+            self.level_scales = np.exp2(
+                (log2f - log2b) * l / max(n_levels - 1, 1) + log2b).astype(np.float32)
+            self.level_size = ((1 << log2_hashmap_size) >> 4) << 4
+            self.primes = draw_random_primes(primes_seed, n_levels)
+            self.resolutions = None
+
+        self.table_rows = self.n_levels * self.level_size
+
+    def init(self, key: jax.Array) -> dict:
+        """Feature table uniform(-1e-4, 1e-4) (NeRF.cpp:265-272 / CuHashEmbedder.cpp:24)."""
+        table = jax.random.uniform(
+            key, (self.table_rows, self.n_features_per_level),
+            dtype=jnp.float32, minval=-1e-4, maxval=1e-4)
+        return {"table": table.astype(self.table_dtype)}
+
+    # -- hashing -----------------------------------------------------------
+
+    def _corner_indices_fixed(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """x: [N, 3] (clamped). Returns (flat_idx [N, L, 8], frac [N, L, 3])."""
+        box_min = jnp.asarray(self.bounding_box[:3])
+        box_max = jnp.asarray(self.bounding_box[3:])
+        res = jnp.asarray(self.resolutions, jnp.float32)               # [L]
+        grid_size = (box_max - box_min)[None, :] / res[:, None]        # [L, 3]
+        rel = (x[:, None, :] - box_min) / grid_size[None]              # [N, L, 3]
+        bottom = jnp.floor(rel)
+        frac = rel - bottom
+        # uint32 wrap-around arithmetic: identical low bits to the reference's
+        # int64 product under the & (2^T - 1) mask (coords are non-negative).
+        bottom = bottom.astype(jnp.uint32)
+        corners = bottom[:, :, None, :] + jnp.asarray(_CORNER_OFFSETS, np.uint32)
+        primes = jnp.asarray(np.asarray(FIXED_PRIMES[:3], np.uint32))
+        h = (corners[..., 0] * primes[0]) ^ (corners[..., 1] * primes[1]) \
+            ^ (corners[..., 2] * primes[2])
+        idx = (h & jnp.uint32(self.level_size - 1)).astype(jnp.int32)  # [N, L, 8]
+        level_offset = (jnp.arange(self.n_levels, dtype=jnp.int32)
+                        * self.level_size)[None, :, None]
+        return idx + level_offset, frac
+
+    def _corner_indices_random(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        box_min = jnp.asarray(self.bounding_box[:3])
+        box_max = jnp.asarray(self.bounding_box[3:])
+        scales = jnp.asarray(self.level_scales)                        # [L]
+        rel = (x[:, None, :] - box_min) / (box_max - box_min) * scales[:, None]
+        bottom = jnp.floor(rel)
+        frac = rel - bottom
+        corners = (bottom.astype(jnp.uint32)[:, :, None, :]
+                   + jnp.asarray(_CORNER_OFFSETS, np.uint32))          # [N, L, 8, 3]
+        primes = jnp.asarray(self.primes, jnp.uint32)                  # [L, 3]
+        h = ((corners[..., 0] * primes[None, :, None, 0])
+             ^ (corners[..., 1] * primes[None, :, None, 1])
+             ^ (corners[..., 2] * primes[None, :, None, 2]))
+        idx = (h % jnp.uint32(self.level_size)).astype(jnp.int32)
+        level_offset = (jnp.arange(self.n_levels, dtype=jnp.int32)
+                        * self.level_size)[None, :, None]
+        return idx + level_offset, frac
+
+    def corner_indices(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if self.scheme == "fixed":
+            return self._corner_indices_fixed(x)
+        return self._corner_indices_random(x)
+
+    # -- forward -----------------------------------------------------------
+
+    def __call__(self, params: dict, x: jnp.ndarray):
+        """x: [N, 3] points -> (features [N, L*F], keep_mask [N]).
+
+        Out-of-bbox points are clamped and masked (CuHashEmbedder.cpp:92-102);
+        the renderer zeroes their density via keep_mask.
+        """
+        box_min = jnp.asarray(self.bounding_box[:3])
+        box_max = jnp.asarray(self.bounding_box[3:])
+        inside = (x >= box_min) & (x <= box_max)
+        keep_mask = jnp.all(inside, axis=-1)
+        xc = jnp.clip(x, box_min, box_max)
+
+        idx, frac = self.corner_indices(xc)                 # [N, L, 8], [N, L, 3]
+        table = params["table"]
+        if self.use_pallas:
+            from nerfpp_tpu.pallas.hash_encode import gather_trilerp
+            feats = gather_trilerp(table, idx, frac)
+        else:
+            feats = gather_trilerp_reference(table, idx, frac)
+        return feats.reshape(x.shape[0], self.output_dims), keep_mask
+
+
+def trilerp_weights(frac: jnp.ndarray) -> jnp.ndarray:
+    """frac: [..., 3] -> [..., 8] trilinear corner weights in _CORNER_OFFSETS order."""
+    a, b, c = frac[..., 0:1], frac[..., 1:2], frac[..., 2:3]
+    wx = jnp.concatenate([1.0 - a, a], axis=-1)             # [..., 2]
+    wy = jnp.concatenate([1.0 - b, b], axis=-1)
+    wz = jnp.concatenate([1.0 - c, c], axis=-1)
+    # weight[d] = wx[x_bit] * wy[y_bit] * wz[z_bit], d ordered with z fastest
+    w = (wx[..., :, None, None] * wy[..., None, :, None] * wz[..., None, None, :])
+    return w.reshape(*frac.shape[:-1], 8)
+
+
+def gather_trilerp_reference(table: jnp.ndarray, idx: jnp.ndarray,
+                             frac: jnp.ndarray) -> jnp.ndarray:
+    """Pure-XLA gather + trilinear blend. table [R, F], idx [N, L, 8],
+    frac [N, L, 3] -> [N, L, F]. Backward is XLA scatter-add."""
+    gathered = table[idx]                                    # [N, L, 8, F]
+    w = trilerp_weights(frac)                                # [N, L, 8]
+    return jnp.sum(gathered.astype(jnp.float32) * w[..., None], axis=-2)
+
+
+def total_variation_loss(encoder: HashGridEncoder, params: dict, level: int,
+                         key: jax.Array) -> jnp.ndarray:
+    """Random-cube total-variation regularizer for one hash level.
+
+    Mirrors TotalVariationLoss (NeRF.h:255-300): sample a random cube of static
+    per-level size floor(clip(res/10, base-1, finest-1)), hash its lattice points
+    with the fixed scheme, and penalize squared feature differences along each
+    axis, normalized by cube size. Only defined for scheme="fixed" (as in the
+    reference, where the CUDA variant's TV helper is never called from Train).
+    """
+    if encoder.scheme != "fixed":
+        raise ValueError("total_variation_loss follows the fixed-prime scheme")
+    res = int(encoder.resolutions[level])
+    min_cube = encoder.base_resolution - 1
+    max_cube = encoder.finest_resolution - 1
+    cube = int(np.floor(np.clip(res / 10.0, min_cube, max_cube)))
+
+    min_vertex = jax.random.randint(key, (3,), 0, max(res - cube, 1))
+    ar = jnp.arange(cube + 1)
+    gx = min_vertex[0] + ar
+    gy = min_vertex[1] + ar
+    gz = min_vertex[2] + ar
+    grid = jnp.stack(jnp.meshgrid(gx, gy, gz, indexing="ij"), axis=-1)  # [c,c,c,3]
+    primes = jnp.asarray(np.asarray(FIXED_PRIMES[:3], np.uint32))
+    g = grid.astype(jnp.uint32)
+    h = (g[..., 0] * primes[0]) ^ (g[..., 1] * primes[1]) ^ (g[..., 2] * primes[2])
+    idx = ((h & jnp.uint32(encoder.level_size - 1)).astype(jnp.int32)
+           + level * encoder.level_size)
+    emb = params["table"][idx].astype(jnp.float32)           # [c, c, c, F]
+
+    tv_x = jnp.sum((emb[1:] - emb[:-1]) ** 2)
+    tv_y = jnp.sum((emb[:, 1:] - emb[:, :-1]) ** 2)
+    tv_z = jnp.sum((emb[:, :, 1:] - emb[:, :, :-1]) ** 2)
+    return (tv_x + tv_y + tv_z) / cube
