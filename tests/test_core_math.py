@@ -149,7 +149,7 @@ def test_trunc_exp_value_and_grad():
                                rtol=1e-5, atol=1e-40)
     g = jax.grad(lambda v: jnp.sum(I.trunc_exp(v)))(x)
     expect = np.exp(np.clip(np.asarray(x), -100.0, 5.0))
-    np.testing.assert_allclose(np.asarray(g), expect, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g), expect, rtol=1e-5, atol=1e-40)
 
 
 def test_raw2outputs_transmittance_identities():
