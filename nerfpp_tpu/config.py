@@ -1,0 +1,207 @@
+"""Configuration dataclasses with JSON round-trip.
+
+Mirrors the reference's three JSON-serializable config structs and their exact
+key sets so configs interchange with the reference's artifacts:
+
+- ``ExecutorParams``  <-> NeRFExecutorParams  (NeRFExecutor.h:31-178)
+- ``TrainParams``     <-> NeRFExecutorTrainParams (NeRFExecutor.h:180-264)
+- SceneData (data/dataset.py) <-> NeRFDatasetParams (NeRFDatasetParams.h)
+
+Extra keys absent from the reference (the reference fixes them at compile time
+via template instantiation, NeRFExecutor.h:299-301 / main.cpp:220-221):
+``embedder_type``, ``embeddirs_type``, ``model_type``, ``hash_scheme`` select
+the model stack at runtime; they default to the shipped HashNeRF stack and are
+ignored by FromJson when absent.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import List
+
+
+def _json_dataclass(cls):
+    """Attach to_json/from_json/save/load using the dataclass's KEYMAP."""
+
+    def to_json(self) -> dict:
+        return {k: getattr(self, f) for f, k in self.KEYMAP.items()}
+
+    def from_json(cls_, j: dict):
+        kwargs = {}
+        for f, k in cls_.KEYMAP.items():
+            if k in j:
+                kwargs[f] = j[k]
+        return cls_(**kwargs)
+
+    def save(self, path) -> None:
+        Path(path).write_text(json.dumps(self.to_json(), indent=1))
+
+    def load(cls_, path):
+        return cls_.from_json(json.loads(Path(path).read_text()))
+
+    cls.to_json = to_json
+    cls.from_json = classmethod(from_json)
+    cls.save = save
+    cls.load = classmethod(load)
+    return cls
+
+
+@_json_dataclass
+@dataclasses.dataclass
+class ExecutorParams:
+    """Model/optimizer configuration (NeRFExecutorParams, NeRFExecutor.h:31-74).
+
+    Defaults follow the reference declaration; main.cpp:178-219 overrides for
+    the HashNeRF+LeRF run are applied by presets in executor.py.
+    """
+    net_depth: int = 8              # sigma-net layers (8 classic, 2-3 HashNeRF)
+    net_width: int = 256            # channels per layer (256 classic, 64 Hash)
+    multires: int = 10              # log2 max freq, 3D position PE
+    multires_views: int = 4         # log2 max freq / SH degree for directions
+    n_importance: int = 0           # additional fine samples per ray
+    num_layers_color: int = 4
+    hidden_dim_color: int = 64
+    num_layers_normals: int = 3
+    hidden_dim_normals: int = 64
+    geo_feat_dim: int = 15
+    use_nerf: bool = True
+    use_viewdirs: bool = True
+    calculate_normals: bool = False
+    use_pred_normal: bool = False
+    use_lerf: bool = False
+    thin_ray: bool = False
+    n_levels: int = 16
+    n_features_per_level: int = 2
+    log2_hashmap_size: int = 19
+    base_resolution: int = 16
+    finest_resolution: int = 512
+    n_levels_le: int = 14
+    n_features_per_level_le: int = 2
+    log2_hashmap_size_le: int = 16
+    base_resolution_le: int = 16
+    finest_resolution_le: int = 128
+    clip_input_img_size: int = 336
+    num_layers_le: int = 3
+    hidden_dim_le: int = 64
+    lang_embed_dim: int = 768
+    geo_feat_dim_le: int = 32
+    pyr_embed_min_zoom_out: int = 0
+    device: str = "tpu"
+    learning_rate: float = 5e-4
+    pyr_embedder_overlap: float = 0.75
+    ft_path: str = ""
+    path_to_clip: str = ""
+    path_to_bpe: str = ""
+    lerf_positives: str = ""
+    lerf_negatives: List[str] = dataclasses.field(default_factory=list)
+    # runtime stack selection (compile-time templates in the reference)
+    embedder_type: str = "hash"       # "frequency" | "hash"
+    embeddirs_type: str = "sh"        # "frequency" | "sh"
+    model_type: str = "nerf_small"    # "nerf" | "nerf_small"
+    hash_scheme: str = "random"       # "fixed" (CPU variant) | "random" (CUDA)
+    density_activation: str = "relu"  # "relu" (reference) | "trunc_exp" | "softplus"
+    mlp_init_gain: float = 0.1        # xavier-normal gain (Trainable.h:32-53)
+
+    KEYMAP = {
+        "net_depth": "net_depth", "net_width": "net_width",
+        "multires": "multires", "multires_views": "multires_views",
+        "n_importance": "n_importance",
+        "num_layers_color": "num_layers_color",
+        "hidden_dim_color": "hidden_dim_color",
+        "num_layers_normals": "num_layers_normals",
+        "hidden_dim_normals": "hidden_dim_normals",
+        "geo_feat_dim": "geo_feat_dim",
+        "use_nerf": "use_nerf", "thin_ray": "thin_ray",
+        "use_viewdirs": "use_viewdirs",
+        "calculate_normals": "calculate_normals",
+        "use_pred_normal": "use_pred_normal", "use_lerf": "use_lerf",
+        "n_levels": "n_levels", "n_features_per_level": "n_features_per_level",
+        "log2_hashmap_size": "log2_hashmap_size",
+        "base_resolution": "base_resolution",
+        "finest_resolution": "finest_resolution",
+        "n_levels_le": "n_levels_le",
+        "n_features_per_level_le": "n_features_per_level_le",
+        "log2_hashmap_size_le": "log2_hashmap_size_le",
+        "base_resolution_le": "base_resolution_le",
+        "finest_resolution_le": "finest_resolution_le",
+        "clip_input_img_size": "clip_input_img_size",
+        "num_layers_le": "num_layers_le", "hidden_dim_le": "hidden_dim_le",
+        "lang_embed_dim": "lang_embed_dim", "geo_feat_dim_le": "geo_feat_dim_le",
+        "pyr_embed_min_zoom_out": "lang_embed_min_zoom_out",
+        "device": "device", "learning_rate": "learning_rate",
+        "pyr_embedder_overlap": "pyr_embedder_overlap",
+        "ft_path": "ft_path", "path_to_clip": "path_to_clip",
+        "path_to_bpe": "path_to_bpe",
+        "lerf_positives": "lerf_positives", "lerf_negatives": "lerf_negatives",
+        "embedder_type": "embedder_type", "embeddirs_type": "embeddirs_type",
+        "model_type": "model_type", "hash_scheme": "hash_scheme",
+        "density_activation": "density_activation",
+        "mlp_init_gain": "mlp_init_gain",
+    }
+
+
+@_json_dataclass
+@dataclasses.dataclass
+class TrainParams:
+    """Training-loop configuration (NeRFExecutorTrainParams,
+    NeRFExecutor.h:180-264). Field spelling preserved, including PrecorpIters."""
+    pyramid_clip_embedding_save_dir: str = ""
+    base_dir: str = "output"
+    test_skip: bool = False
+    render_only: bool = False
+    ndc: bool = False
+    lin_disp: bool = False
+    chunk: int = 1024 * 32
+    n_samples: int = 64
+    n_rand: int = 32 * 32 * 4
+    precorp_iters: int = 0
+    n_iters: int = 50000
+    lrate_decay: int = 250
+    i_print: int = 100
+    i_img: int = 500
+    i_weights: int = 10000
+    i_testset: int = 50000
+    return_raw: bool = False
+    render_factor: float = 0.0
+    precorp_frac: float = 0.5
+
+    KEYMAP = {
+        "pyramid_clip_embedding_save_dir": "PyramidClipEmbeddingSaveDir",
+        "base_dir": "BaseDir", "test_skip": "TestSkip",
+        "render_only": "RenderOnly", "ndc": "Ndc", "lin_disp": "LinDisp",
+        "chunk": "Chunk", "n_samples": "NSamples", "n_rand": "NRand",
+        "precorp_iters": "PrecorpIters", "n_iters": "NIters",
+        "lrate_decay": "LRateDecay", "i_print": "IPrint", "i_img": "IImg",
+        "i_weights": "IWeights", "i_testset": "ITestset",
+        "return_raw": "ReturnRaw", "render_factor": "RenderFactor",
+        "precorp_frac": "PrecorpFrac",
+    }
+
+
+def hashnerf_preset(**overrides) -> ExecutorParams:
+    """The shipped HashNeRF+SH stack configuration (main.cpp:178-219):
+    NeRFSmall 3x64, 192 importance samples, 16-level hash with T=2^19,
+    base 16 -> finest 1024, SH degree 8 dirs, Adam lr 1e-2."""
+    p = ExecutorParams(
+        net_depth=3, net_width=64, multires_views=8, n_importance=192,
+        num_layers_color=4, hidden_dim_color=64, geo_feat_dim=15,
+        n_levels=16, n_features_per_level=2, log2_hashmap_size=19,
+        base_resolution=16, finest_resolution=1024,
+        learning_rate=1e-2,
+        embedder_type="hash", embeddirs_type="sh", model_type="nerf_small")
+    for k, v in overrides.items():
+        setattr(p, k, v)
+    return p
+
+
+def classic_nerf_preset(**overrides) -> ExecutorParams:
+    """The classic-NeRF stack (Embedder positions + Embedder dirs + NeRF MLP)."""
+    p = ExecutorParams(
+        net_depth=8, net_width=256, multires=10, multires_views=4,
+        n_importance=0, learning_rate=5e-4,
+        embedder_type="frequency", embeddirs_type="frequency",
+        model_type="nerf")
+    for k, v in overrides.items():
+        setattr(p, k, v)
+    return p

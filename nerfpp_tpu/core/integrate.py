@@ -49,9 +49,26 @@ def dists_from_z(z_vals: jnp.ndarray, rays_d: jnp.ndarray) -> jnp.ndarray:
     return dists * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
 
 
-def alpha_from_density(density: jnp.ndarray, dists: jnp.ndarray) -> jnp.ndarray:
-    """alpha = 1 - trunc_exp(-relu(sigma) * dists) (NeRFRenderer.h:234)."""
-    return 1.0 - trunc_exp(-jax.nn.relu(density) * dists)
+def alpha_from_density(density: jnp.ndarray, dists: jnp.ndarray,
+                       activation: str = "relu") -> jnp.ndarray:
+    """alpha = 1 - trunc_exp(-act(sigma) * dists).
+
+    activation="relu" is the reference semantics (NeRFRenderer.h:234). It has a
+    dead zone: once every density output is negative, gradients stop entirely
+    (a real failure mode with the reference's 0.1-gain bias-free init and
+    lr 1e-2 Adam). activation="trunc_exp" is the instant-NGP density (exp with
+    truncated gradient) — strictly positive, gradients always flow; preferred
+    for the TPU flagship configs.
+    """
+    if activation == "relu":
+        act = jax.nn.relu(density)
+    elif activation == "trunc_exp":
+        act = trunc_exp(density)
+    elif activation == "softplus":
+        act = jax.nn.softplus(density)
+    else:
+        raise ValueError(f"unknown density activation {activation!r}")
+    return 1.0 - trunc_exp(-act * dists)
 
 
 def weights_from_alpha(alpha: jnp.ndarray) -> jnp.ndarray:
@@ -66,25 +83,26 @@ def weights_from_alpha(alpha: jnp.ndarray) -> jnp.ndarray:
 
 
 def raw2outputs(raw: jnp.ndarray, z_vals: jnp.ndarray, rays_d: jnp.ndarray,
-                raw_noise_std: float = 0.0, white_bkgr: bool = False,
-                key: jax.Array | None = None) -> RenderOutputs:
+                raw_noise_std=0.0, white_bkgr: bool = False,
+                key: jax.Array | None = None,
+                density_activation: str = "relu") -> RenderOutputs:
     """Model outputs [n_rays, n_samples, 4(+extras)] -> composited ray values.
 
     Channel layout follows the reference: raw[..., :3] = rgb logits (sigmoid
     applied here), raw[..., 3] = density before activation (optional Gaussian
-    noise regularizer added pre-activation). Depth is the weight-normalized
-    expected z (NeRFRenderer.h:272); white background composites (1 - acc).
+    noise regularizer added pre-activation; ``raw_noise_std`` may be a traced
+    scalar — the noise path is enabled statically by passing a key). Depth is
+    the weight-normalized expected z (NeRFRenderer.h:272); white background
+    composites (1 - acc).
     """
     dists = dists_from_z(z_vals, rays_d)
     rgb = jax.nn.sigmoid(raw[..., :3])
 
     density = raw[..., 3]
-    if raw_noise_std > 0.0:
-        if key is None:
-            raise ValueError("raw_noise_std > 0 requires a PRNG key")
+    if key is not None:
         density = density + jax.random.normal(key, density.shape) * raw_noise_std
 
-    alpha = alpha_from_density(density, dists)
+    alpha = alpha_from_density(density, dists, density_activation)
     weights = weights_from_alpha(alpha)
 
     rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)

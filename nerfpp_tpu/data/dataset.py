@@ -149,6 +149,7 @@ def load_images(scene: SceneData, indices, white_bkgr: Optional[bool] = None
     return np.stack(out)
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class RayBatchSampler:
     """Device-resident random ray sampler for training.
@@ -161,11 +162,11 @@ class RayBatchSampler:
     images: jnp.ndarray        # [n_train, H, W, 3]
     poses: jnp.ndarray         # [n_train, 4, 4]
     intrinsics: jnp.ndarray    # [n_train, 3, 3]
-    h: int
-    w: int
-    batch_size: int
-    precrop_iters: int = 0
-    precrop_frac: float = 0.5
+    h: int = dataclasses.field(metadata=dict(static=True))
+    w: int = dataclasses.field(metadata=dict(static=True))
+    batch_size: int = dataclasses.field(metadata=dict(static=True))
+    precrop_iters: int = dataclasses.field(default=0, metadata=dict(static=True))
+    precrop_frac: float = dataclasses.field(default=0.5, metadata=dict(static=True))
     lang_embeddings: Optional[jnp.ndarray] = None  # [n_train, H, W, E] (LeRF)
 
     @classmethod

@@ -21,7 +21,7 @@ class NeRFMLP:
     def __init__(self, depth: int = 8, width: int = 256, input_ch: int = 3,
                  input_ch_views: int = 3, output_ch: int = 4,
                  skips: FrozenSet[int] = frozenset({4}),
-                 use_viewdirs: bool = False):
+                 use_viewdirs: bool = False, init_gain: float = 0.1):
         self.depth = depth
         self.width = width
         self.input_ch = input_ch
@@ -29,26 +29,27 @@ class NeRFMLP:
         self.output_ch = output_ch
         self.skips = frozenset(skips)
         self.use_viewdirs = use_viewdirs
+        self.init_gain = init_gain
 
     def init(self, key: jax.Array) -> dict:
-        d, w = self.depth, self.width
+        d, w, g = self.depth, self.width, self.init_gain
         keys = iter(jax.random.split(key, d + 4))
-        pts_linears = [nn.dense_init(next(keys), self.input_ch, w)]
+        pts_linears = [nn.dense_init(next(keys), self.input_ch, w, gain=g)]
         # Layer i+1 takes w (+input_ch if layer i is a skip layer), NeRF.cpp:52-57.
         for i in range(d - 1):
             in_dim = w + (self.input_ch if i in self.skips else 0)
-            pts_linears.append(nn.dense_init(next(keys), in_dim, w))
+            pts_linears.append(nn.dense_init(next(keys), in_dim, w, gain=g))
         params = {"pts_linears": pts_linears}
         if self.use_viewdirs:
             params["views_linears"] = [
-                nn.dense_init(next(keys), self.input_ch_views + w, w // 2)]
-            params["feature_linear"] = nn.dense_init(next(keys), w, w)
-            params["alpha_linear"] = nn.dense_init(next(keys), w, 1)
-            params["rgb_linear"] = nn.dense_init(next(keys), w // 2, 3)
+                nn.dense_init(next(keys), self.input_ch_views + w, w // 2, gain=g)]
+            params["feature_linear"] = nn.dense_init(next(keys), w, w, gain=g)
+            params["alpha_linear"] = nn.dense_init(next(keys), w, 1, gain=g)
+            params["rgb_linear"] = nn.dense_init(next(keys), w // 2, 3, gain=g)
         else:
             # Final input skip "for better convergence" (NeRF.cpp:73, 122).
             params["output_linear"] = nn.dense_init(
-                next(keys), w + self.input_ch, self.output_ch)
+                next(keys), w + self.input_ch, self.output_ch, gain=g)
         return params
 
     def __call__(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:

@@ -24,7 +24,7 @@ class NeRFSmall:
                  hidden_dim_color: int = 64, use_pred_normal: bool = False,
                  num_layers_normals: int = 3, hidden_dim_normals: int = 64,
                  input_ch: int = 3, input_ch_views: int = 3,
-                 compute_dtype=None):
+                 compute_dtype=None, init_gain: float = 0.1):
         self.num_layers = num_layers
         self.hidden_dim = hidden_dim
         self.geo_feat_dim = geo_feat_dim
@@ -36,6 +36,7 @@ class NeRFSmall:
         self.input_ch = input_ch
         self.input_ch_views = input_ch_views
         self.compute_dtype = compute_dtype
+        self.init_gain = init_gain
 
     def _dims_sigma(self):
         return ([self.input_ch] + [self.hidden_dim] * (self.num_layers - 1)
@@ -51,12 +52,14 @@ class NeRFSmall:
 
     def init(self, key: jax.Array) -> dict:
         ks, kc, kn = jax.random.split(key, 3)
+        g = self.init_gain
         params = {
-            "sigma_net": nn.mlp_init(ks, self._dims_sigma(), use_bias=False),
-            "color_net": nn.mlp_init(kc, self._dims_color(), use_bias=False),
+            "sigma_net": nn.mlp_init(ks, self._dims_sigma(), use_bias=False, gain=g),
+            "color_net": nn.mlp_init(kc, self._dims_color(), use_bias=False, gain=g),
         }
         if self.use_pred_normal:
-            params["normals_net"] = nn.mlp_init(kn, self._dims_normals(), use_bias=False)
+            params["normals_net"] = nn.mlp_init(kn, self._dims_normals(),
+                                                use_bias=False, gain=g)
         return params
 
     def __call__(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:

@@ -4,7 +4,10 @@ TPU-native re-design of the reference ``NeRFRenderer`` template
 (NeRFRenderer.h:88-605). Differences from the reference, by design:
 
 - No 7-type template / virtual dispatch: the renderer is a small config record
-  plus closures (embed_fn, embed_dirs_fn, field_fn) over parameter pytrees.
+  plus closures (network_fn, integrate_fn) over parameter pytrees. The LeRF
+  renderer (nerfpp_tpu/render/lerf.py) reuses the same hierarchical machinery
+  with a different integrator, where the reference duplicates ~300 lines
+  (LeRFRenderer.cpp:85-331).
 - No dynamic chunk loop: training renders one fixed-size ray batch; full-image
   rendering pads the pixel set to a multiple of the chunk and `lax.map`s a
   jitted chunk renderer (shape-static => compiled once).
@@ -16,13 +19,14 @@ TPU-native re-design of the reference ``NeRFRenderer`` template
 - Fixes the reference's coarse-only quirk where n_importance == 0 leaves
   result.Outputs empty (NeRFRenderer.h:423 vs 448): here the coarse outputs are
   always returned (`coarse`), and `outputs` is fine if present else coarse.
-- Explicit PRNG keys thread all randomness (perturb, cone scatter, SP noise,
-  density noise).
+- Explicit PRNG keys thread all randomness; annealed noise magnitudes
+  (raw_noise_std, stochastic preconditioning alpha) are *traced scalars*, so
+  the whole training schedule runs under one compiled executable.
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,8 +40,8 @@ from nerfpp_tpu.core.integrate import RenderOutputs, raw2outputs
 class RenderConfig:
     """Static rendering options (hashable; safe as a jit static argument).
 
-    Mirrors NeRFRenderParams (NeRFRenderer.h:28-44) minus the tensors, which are
-    passed as arrays at call time.
+    Mirrors NeRFRenderParams (NeRFRenderer.h:28-44) minus the tensors and the
+    annealed scalars, which are passed as (possibly traced) values at call time.
     """
     n_samples: int = 64
     n_importance: int = 192
@@ -50,63 +54,76 @@ class RenderConfig:
     use_viewdirs: bool = True
     thin_ray: bool = False
     return_weights: bool = True
+    # static switches for the annealed noise paths (value itself is traced)
+    use_raw_noise: bool = False
+    use_sp_noise: bool = False
+    # density activation: "relu" (reference parity) | "trunc_exp" | "softplus"
+    density_activation: str = "relu"
 
 
 class RenderResult(NamedTuple):
     """Composited results of one render call (mirrors NeRFRenderResult plus the
     always-populated coarse outputs)."""
-    outputs: RenderOutputs          # fine if n_importance > 0 else coarse
-    coarse: RenderOutputs
+    outputs: NamedTuple             # fine if n_importance > 0 else coarse
+    coarse: NamedTuple
     raw: Optional[jnp.ndarray]      # [n_rays, K, C] if return_raw
     z_vals: jnp.ndarray             # [n_rays, K] final sample depths
 
 
-def run_network(pts: jnp.ndarray, viewdirs: Optional[jnp.ndarray],
-                params: dict, embed_fn, embed_dirs_fn, field_fn) -> jnp.ndarray:
-    """Embed points (+dirs), evaluate the field, zero out-of-bbox densities.
+def make_nerf_network_fn(embed_fn, embed_dirs_fn, field_fn,
+                         sigma_channel: int = 3):
+    """Build the standard NeRF network closure.
 
-    pts: [n_rays, n_samples, 3]; viewdirs: [n_rays, 3] or None.
     Mirrors RunNetwork (NeRFRenderer.h:163-194): flatten, embed, broadcast dirs
     across samples, concat, field forward, sigma := 0 where keep_mask is False.
     """
-    n_rays, n_samples, _ = pts.shape
-    flat = pts.reshape(-1, 3)
-    embedded, keep_mask = embed_fn(params, flat)
 
-    if viewdirs is not None:
-        dirs = jnp.broadcast_to(viewdirs[:, None, :], pts.shape).reshape(-1, 3)
-        embedded_dirs, _ = embed_dirs_fn(params, dirs)
-        embedded = jnp.concatenate([embedded, embedded_dirs], axis=-1)
+    def network_fn(params, pts, viewdirs):
+        n_rays, n_samples, _ = pts.shape
+        flat = pts.reshape(-1, 3)
+        embedded, keep_mask = embed_fn(params, flat)
 
-    raw = field_fn(params, embedded)
-    if keep_mask is not None:
-        # density channel is index 3 when rgb present, else the last channel;
-        # the NeRF convention here is always [..., rgb(3), sigma, extras...]
-        sigma_idx = 3 if raw.shape[-1] >= 4 else raw.shape[-1] - 1
-        raw = raw.at[..., sigma_idx].set(
-            jnp.where(keep_mask, raw[..., sigma_idx], 0.0))
-    return raw.reshape(n_rays, n_samples, raw.shape[-1])
+        if viewdirs is not None:
+            dirs = jnp.broadcast_to(viewdirs[:, None, :], pts.shape).reshape(-1, 3)
+            embedded_dirs, _ = embed_dirs_fn(params, dirs)
+            embedded = jnp.concatenate([embedded, embedded_dirs], axis=-1)
+
+        raw = field_fn(params, embedded)
+        if keep_mask is not None:
+            sc = sigma_channel if sigma_channel >= 0 else raw.shape[-1] + sigma_channel
+            raw = raw.at[..., sc].set(jnp.where(keep_mask, raw[..., sc], 0.0))
+        return raw.reshape(n_rays, n_samples, raw.shape[-1])
+
+    return network_fn
+
+
+def make_nerf_integrate_fn(cfg: "RenderConfig"):
+    """Standard rgb+sigma integrator (RawToOutputs, NeRFRenderer.h:198-282)."""
+
+    def integrate_fn(raw, z_vals, rays_d, raw_noise_std, key):
+        return raw2outputs(raw, z_vals, rays_d, raw_noise_std, cfg.white_bkgr,
+                           key if cfg.use_raw_noise else None,
+                           cfg.density_activation)
+
+    return integrate_fn
 
 
 def render_rays(params: dict,
-                embed_fn: Callable, embed_dirs_fn: Optional[Callable],
-                field_fn: Callable,
+                network_fn: Callable, integrate_fn: Callable,
                 rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                 near: jnp.ndarray, far: jnp.ndarray,
                 viewdirs: Optional[jnp.ndarray],
                 cone_angle, key: jax.Array, cfg: RenderConfig,
-                raw_noise_std: float = 0.0,
-                stochastic_preconditioning_alpha: float = 0.0,
+                raw_noise_std=0.0,
+                stochastic_preconditioning_alpha=0.0,
                 bounding_box: Optional[jnp.ndarray] = None) -> RenderResult:
     """Hierarchical volume rendering of one fixed-size ray batch.
 
     rays_o/rays_d: [n_rays, 3]; near/far: [n_rays, 1]. Mirrors RenderRays
-    (NeRFRenderer.h:366-459) with explicit PRNG keys.
-
-    Note: ``raw_noise_std`` and ``stochastic_preconditioning_alpha`` are Python
-    floats evaluated at trace time; the executor re-jits on annealing-schedule
-    changes only when crossing zero (it passes them as traced scalars via
-    functools.partial closures — see executor.py).
+    (NeRFRenderer.h:366-459) with explicit PRNG keys. ``raw_noise_std`` and
+    ``stochastic_preconditioning_alpha`` may be traced scalars (annealing
+    schedules run inside one compiled step); their *enablement* is static via
+    cfg.use_raw_noise / cfg.use_sp_noise.
     """
     k_strat, k_cone1, k_pdf, k_sp, k_cone2, k_noise1, k_noise2 = \
         jax.random.split(key, 7)
@@ -118,9 +135,8 @@ def render_rays(params: dict,
         pts = S.tangent_scatter(pts, z_vals, cone_angle, rays_d, k_cone1,
                                 bounding_box)
 
-    raw = run_network(pts, viewdirs, params, embed_fn, embed_dirs_fn, field_fn)
-    coarse = raw2outputs(raw, z_vals, rays_d, raw_noise_std, cfg.white_bkgr,
-                         k_noise1)
+    raw = network_fn(params, pts, viewdirs)
+    coarse = integrate_fn(raw, z_vals, rays_d, raw_noise_std, k_noise1)
 
     outputs = coarse
     if cfg.n_importance > 0:
@@ -132,7 +148,7 @@ def render_rays(params: dict,
         z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
 
-        if stochastic_preconditioning_alpha > 0.0 and bounding_box is not None:
+        if cfg.use_sp_noise and bounding_box is not None:
             noise = jax.random.normal(k_sp, pts.shape) \
                 * stochastic_preconditioning_alpha
             pts = S.reflect_boundary(pts + noise, bounding_box[:3],
@@ -141,31 +157,27 @@ def render_rays(params: dict,
             pts = S.tangent_scatter(pts, z_vals, cone_angle, rays_d, k_cone2,
                                     bounding_box)
 
-        raw = run_network(pts, viewdirs, params, embed_fn, embed_dirs_fn,
-                          field_fn)
-        outputs = raw2outputs(raw, z_vals, rays_d, raw_noise_std,
-                              cfg.white_bkgr, k_noise2)
+        raw = network_fn(params, pts, viewdirs)
+        outputs = integrate_fn(raw, z_vals, rays_d, raw_noise_std, k_noise2)
 
-    if not cfg.return_weights:
-        outputs = outputs._replace(weights=jnp.zeros((0,), jnp.float32))
-        coarse = coarse._replace(weights=jnp.zeros((0,), jnp.float32))
     return RenderResult(outputs=outputs, coarse=coarse,
                         raw=raw if cfg.return_raw else None, z_vals=z_vals)
 
 
-def render_ray_batch(params: dict, embed_fn, embed_dirs_fn, field_fn,
+def render_ray_batch(params: dict, network_fn, integrate_fn,
                      rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                      cone_angle, key: jax.Array, cfg: RenderConfig,
                      bounding_box: jnp.ndarray,
-                     raw_noise_std: float = 0.0,
-                     stochastic_preconditioning_alpha: float = 0.0,
+                     raw_noise_std=0.0,
+                     stochastic_preconditioning_alpha=0.0,
                      focal: Optional[float] = None,
                      hw: Optional[tuple] = None) -> RenderResult:
     """Prepare a flat ray batch and render it (training-path entry).
 
     Mirrors the ray-preparation part of Render (NeRFRenderer.h:530-588):
     viewdirs from (pre-NDC) directions, optional NDC projection, per-ray
-    (near, far) from AABB intersection ignoring dataset near/far.
+    (near, far) from AABB intersection ignoring dataset near/far
+    (NeRFRenderer.h:574-578).
     """
     viewdirs = None
     if cfg.use_viewdirs:
@@ -180,13 +192,13 @@ def render_ray_batch(params: dict, embed_fn, embed_dirs_fn, field_fn,
 
     near, far = ray_math.intersect_aabb(rays_o, rays_d, bounding_box)
     return render_rays(
-        params, embed_fn, embed_dirs_fn, field_fn, rays_o, rays_d,
+        params, network_fn, integrate_fn, rays_o, rays_d,
         near[:, None], far[:, None], viewdirs,
         None if cfg.thin_ray else cone_angle, key, cfg,
         raw_noise_std, stochastic_preconditioning_alpha, bounding_box)
 
 
-def render_image(params: dict, embed_fn, embed_dirs_fn, field_fn,
+def render_image(params: dict, network_fn, integrate_fn,
                  h: int, w: int, k: jnp.ndarray, c2w: jnp.ndarray,
                  key: jax.Array, cfg: RenderConfig,
                  bounding_box: jnp.ndarray,
@@ -197,7 +209,7 @@ def render_image(params: dict, embed_fn, embed_dirs_fn, field_fn,
     (NeRFRenderer.h:465-525): pixels are padded to a multiple of cfg.chunk so
     every chunk has identical shape and the scan body compiles exactly once.
 
-    Returns a RenderOutputs with image-shaped maps ([h, w, 3] rgb etc.).
+    Returns (RenderOutputs with [h, w, ...] maps, (near_min, far_max)).
     """
     rays_o, rays_d, cone_angle = ray_math.get_rays(h, w, k, c2w)
 
@@ -230,35 +242,35 @@ def render_image(params: dict, embed_fn, embed_dirs_fn, field_fn,
     rays_d_p = pad0(rays_d).reshape(n_chunks, chunk, 3)
     near_p = pad0(near[:, None]).reshape(n_chunks, chunk, 1)
     far_p = pad0(far[:, None]).reshape(n_chunks, chunk, 1)
-    vd_p = (pad0(viewdirs).reshape(n_chunks, chunk, 3)
-            if viewdirs is not None else None)
+    has_viewdirs = viewdirs is not None
+    vd_p = (pad0(viewdirs).reshape(n_chunks, chunk, 3) if has_viewdirs
+            else jnp.zeros_like(rays_o_p))
     keys = jax.random.split(key, n_chunks)
-
-    has_viewdirs = vd_p is not None
 
     def render_chunk(args):
         ro, rd, nr, fr, vd, kk = args
-        res = render_rays(params, embed_fn, embed_dirs_fn, field_fn,
+        res = render_rays(params, network_fn, integrate_fn,
                           ro, rd, nr, fr, vd if has_viewdirs else None,
                           None if cfg.thin_ray else cone_angle, kk, cfg,
                           bounding_box=bounding_box)
-        o = res.outputs
-        return o.rgb, o.disp, o.acc, o.depth
+        return res.outputs
 
-    if vd_p is None:
-        vd_p = jnp.zeros_like(rays_o_p)  # placeholder for uniform scan pytree
-
-    rgb, disp, acc, depth = jax.lax.map(
+    outputs = jax.lax.map(
         render_chunk, (rays_o_p, rays_d_p, near_p, far_p, vd_p, keys))
 
-    def unpad(x, extra_shape=()):
-        return x.reshape(n_chunks * chunk, *extra_shape)[:n]
+    def unshape(x):
+        flat = x.reshape(n_chunks * chunk, *x.shape[2:])[:n]
+        return flat.reshape(h, w, *x.shape[2:])
 
-    out = RenderOutputs(
-        rgb=unpad(rgb, (3,)).reshape(h, w, 3),
-        disp=unpad(disp).reshape(h, w),
-        acc=unpad(acc).reshape(h, w),
-        weights=jnp.zeros((0,), jnp.float32),
-        depth=unpad(depth).reshape(h, w),
-    )
+    # Per-sample fields (weights, per-sample lang embeddings) would be huge
+    # image-wide; drop them. None fields (e.g. unset relevancy) pass through.
+    per_sample = {"weights", "lang_embedding"}
+    replacements = {}
+    for f in outputs._fields:
+        v = getattr(outputs, f)
+        if f in per_sample:
+            replacements[f] = jnp.zeros((0,), jnp.float32)
+        elif v is not None:
+            replacements[f] = unshape(v)
+    out = outputs._replace(**replacements)
     return out, (jnp.min(near), jnp.max(far))

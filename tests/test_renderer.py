@@ -1,0 +1,159 @@
+"""Renderer tests: shape contracts, coarse/fine population, image rendering."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfpp_tpu.core import rays as R
+from nerfpp_tpu.render.renderer import (RenderConfig, make_nerf_integrate_fn,
+                                        make_nerf_network_fn, render_image,
+                                        render_ray_batch, render_rays)
+from nerfpp_tpu.render import lerf as LR
+
+BBOX = jnp.array([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+
+
+def _toy_network(params, pts, viewdirs):
+    """Analytic field: a sphere of radius 0.5, red."""
+    n_rays, n_samples, _ = pts.shape
+    d = jnp.linalg.norm(pts, axis=-1)
+    sigma = jnp.where(d < 0.5, 50.0, 0.0)
+    rgb = jnp.stack([jnp.full_like(sigma, 5.0), jnp.full_like(sigma, -5.0),
+                     jnp.full_like(sigma, -5.0)], axis=-1)
+    return jnp.concatenate([rgb, sigma[..., None]], axis=-1)
+
+
+def _make_rays(n):
+    # rays from z=2 pointing at origin-ish
+    o = jnp.tile(jnp.array([[0.0, 0.0, 2.0]]), (n, 1))
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (n, 1))
+    return o, d
+
+
+def test_render_rays_coarse_only_outputs_populated():
+    """The reference leaves Outputs empty for n_importance == 0
+    (NeRFRenderer.h:423/448) — we fix that: coarse results ARE the outputs."""
+    cfg = RenderConfig(n_samples=32, n_importance=0, use_viewdirs=False,
+                       thin_ray=True)
+    o, d = _make_rays(4)
+    near = jnp.full((4, 1), 0.5)
+    far = jnp.full((4, 1), 3.5)
+    res = render_rays({}, _toy_network, make_nerf_integrate_fn(cfg), o, d,
+                      near, far, None, None, jax.random.PRNGKey(0), cfg,
+                      bounding_box=BBOX)
+    assert res.outputs.rgb.shape == (4, 3)
+    np.testing.assert_allclose(np.asarray(res.outputs.rgb),
+                               np.asarray(res.coarse.rgb))
+    # sphere hit: red and opaque
+    assert float(res.outputs.rgb[0, 0]) > 0.9
+    assert float(res.outputs.acc[0]) > 0.99
+    # depth is the front surface of the sphere at z = 0.5 => t = 1.5
+    np.testing.assert_allclose(np.asarray(res.outputs.depth), 1.5, atol=0.1)
+
+
+def test_render_rays_hierarchical_refines():
+    cfg = RenderConfig(n_samples=16, n_importance=48, use_viewdirs=False,
+                       thin_ray=True)
+    o, d = _make_rays(2)
+    near = jnp.full((2, 1), 0.5)
+    far = jnp.full((2, 1), 3.5)
+    res = render_rays({}, _toy_network, make_nerf_integrate_fn(cfg), o, d,
+                      near, far, None, None, jax.random.PRNGKey(0), cfg,
+                      bounding_box=BBOX)
+    assert res.z_vals.shape == (2, 64)  # merged coarse + fine, sorted
+    assert bool(jnp.all(res.z_vals[:, 1:] >= res.z_vals[:, :-1]))
+    # importance samples concentrate near the surface: more samples in
+    # [1.3, 1.7] than uniform would give
+    frac = float(jnp.mean((res.z_vals > 1.3) & (res.z_vals < 1.7)))
+    assert frac > 0.25  # uniform would be ~0.13
+    # coarse discretization (16 samples over [0.5, 3.5]) biases the surface
+    # estimate by up to one coarse bin (0.2)
+    np.testing.assert_allclose(np.asarray(res.outputs.depth), 1.5, atol=0.2)
+
+
+def test_render_ray_batch_aabb_near_far():
+    cfg = RenderConfig(n_samples=32, n_importance=0, use_viewdirs=False,
+                       thin_ray=True)
+    o, d = _make_rays(3)
+    res = render_ray_batch({}, _toy_network, make_nerf_integrate_fn(cfg),
+                           o, d, None, jax.random.PRNGKey(0), cfg, BBOX)
+    # AABB near/far: box z in [-1, 1], origin z=2 => t in [1, 3]
+    assert float(res.z_vals.min()) >= 1.0 - 1e-4
+    assert float(res.z_vals.max()) <= 3.0 + 1e-4
+
+
+def test_render_image_shapes_and_padding():
+    cfg = RenderConfig(n_samples=8, n_importance=0, use_viewdirs=False,
+                       thin_ray=True, chunk=64)  # 13*13=169 pixels -> padding
+    k = jnp.asarray(R.calibration_matrix(15.0, 13, 13))
+    c2w = jnp.asarray(R.pose_spherical(45.0, -30.0, 2.5))
+    out, (near, far) = render_image({}, _toy_network,
+                                    make_nerf_integrate_fn(cfg),
+                                    13, 13, k, c2w, jax.random.PRNGKey(0),
+                                    cfg, BBOX)
+    assert out.rgb.shape == (13, 13, 3)
+    assert out.depth.shape == (13, 13)
+    assert np.isfinite(np.asarray(out.rgb)).all()
+    # the sphere projects into the image center
+    assert float(out.acc[6, 6]) > 0.9
+    assert float(out.acc[0, 0]) < 0.1
+
+
+def test_render_deterministic_without_noise():
+    cfg = RenderConfig(n_samples=16, n_importance=16, use_viewdirs=False,
+                       thin_ray=True)
+    o, d = _make_rays(4)
+    near = jnp.full((4, 1), 0.5)
+    far = jnp.full((4, 1), 3.5)
+    r1 = render_rays({}, _toy_network, make_nerf_integrate_fn(cfg), o, d, near,
+                     far, None, None, jax.random.PRNGKey(0), cfg,
+                     bounding_box=BBOX)
+    r2 = render_rays({}, _toy_network, make_nerf_integrate_fn(cfg), o, d, near,
+                     far, None, None, jax.random.PRNGKey(42), cfg,
+                     bounding_box=BBOX)
+    # perturb=0, det pdf, thin ray, no noise -> key-independent
+    np.testing.assert_allclose(np.asarray(r1.outputs.rgb),
+                               np.asarray(r2.outputs.rgb), atol=1e-6)
+
+
+def _toy_lerf_network(params, pts, viewdirs):
+    n_rays, n_samples, _ = pts.shape
+    d = jnp.linalg.norm(pts, axis=-1)
+    sigma = jnp.where(d < 0.5, 50.0, 0.0)
+    e = jnp.stack([jnp.ones_like(sigma), jnp.zeros_like(sigma),
+                   jnp.zeros_like(sigma), jnp.zeros_like(sigma)], axis=-1)
+    return jnp.concatenate([e, sigma[..., None]], axis=-1)
+
+
+def test_lerf_integrator_and_relevancy():
+    positives = jnp.array([[1.0, 0.0, 0.0, 0.0]])
+    negatives = jnp.array([[0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]])
+    cfg = RenderConfig(n_samples=32, n_importance=0, use_viewdirs=False,
+                       thin_ray=True)
+    integrate = LR.make_lerf_integrate_fn(4, positives, negatives)
+    o, d = _make_rays(4)
+    near = jnp.full((4, 1), 0.5)
+    far = jnp.full((4, 1), 3.5)
+    res = render_rays({}, _toy_lerf_network, integrate, o, d, near, far, None,
+                      None, jax.random.PRNGKey(0), cfg, bounding_box=BBOX)
+    out = res.outputs
+    # rendered embedding is unit-norm and matches the field embedding
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(out.rendered_lang_embedding, axis=-1)),
+        1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.rendered_lang_embedding[:, 0]),
+                               1.0, atol=1e-5)
+    # embedding == positive -> relevancy near 1
+    assert (np.asarray(out.relevancy) > 0.99).all()
+
+
+def test_relevancy_score_ordering():
+    e_pos = jnp.array([1.0, 0.0])
+    e_neg = jnp.array([0.0, 1.0])
+    pos = jnp.array([[1.0, 0.0]])
+    neg = jnp.array([[0.0, 1.0]])
+    r_match = LR.relevancy(e_pos, pos, neg)
+    r_miss = LR.relevancy(e_neg, pos, neg)
+    assert float(r_match[0]) > 0.99
+    assert float(r_miss[0]) < 0.01
