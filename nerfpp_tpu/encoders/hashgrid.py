@@ -206,10 +206,26 @@ def trilerp_weights(frac: jnp.ndarray) -> jnp.ndarray:
 def gather_trilerp_reference(table: jnp.ndarray, idx: jnp.ndarray,
                              frac: jnp.ndarray) -> jnp.ndarray:
     """Pure-XLA gather + trilinear blend. table [R, F], idx [N, L, 8],
-    frac [N, L, 3] -> [N, L, F]. Backward is XLA scatter-add."""
-    gathered = table[idx]                                    # [N, L, 8, F]
-    w = trilerp_weights(frac)                                # [N, L, 8]
-    return jnp.sum(gathered.astype(jnp.float32) * w[..., None], axis=-2)
+    frac [N, L, 3] -> [N, L, F]. Backward is XLA scatter-add.
+
+    TPU layout note: a naive ``table[idx]`` materializes [N, L, 8, F] with
+    trailing dims (8, F) — padded by the (8, 128) tile to a >30x memory blowup
+    at production sizes. Instead the table is viewed per-feature as flat [R]
+    vectors and gathered with [N, L*8] indices: for the production config
+    L*8 = 128 is exactly the TPU lane width, so gather results, trilinear
+    weights, and the corner reduction all live in perfectly tiled [N, 128]
+    buffers that XLA fuses.
+    """
+    n, L, _ = idx.shape
+    f = table.shape[-1]
+    flat_idx = idx.reshape(n, L * 8)                         # [N, L*8]
+    w = trilerp_weights(frac).reshape(n, L * 8)              # [N, L*8]
+    outs = []
+    for c in range(f):
+        vals = jnp.take(table[:, c], flat_idx, axis=0)       # [N, L*8]
+        outs.append(jnp.sum((vals.astype(jnp.float32) * w)
+                            .reshape(n, L, 8), axis=-1))     # [N, L]
+    return jnp.stack(outs, axis=-1)                          # [N, L, F]
 
 
 def total_variation_loss(encoder: HashGridEncoder, params: dict, level: int,

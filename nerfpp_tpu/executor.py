@@ -227,9 +227,15 @@ class NeRFExecutor:
         p = self.params
         cfg = self.make_render_config(tp, train=True, return_weights=True)
         bbox = jnp.asarray(self.bounding_box)
-        nerf_network_fn = self._nerf_fns() if p.use_nerf else None
+        # Rematerialize the field evaluation in the backward pass: activation
+        # storage for millions of point evals dominates HBM; recomputing them
+        # trades ~1/3 extra FLOPs for fitting production batch sizes on-chip.
+        nerf_network_fn = (jax.checkpoint(self._nerf_fns())
+                           if p.use_nerf else None)
         nerf_integrate_fn = make_nerf_integrate_fn(cfg) if p.use_nerf else None
         lerf_fns = self._lerf_fns() if p.use_lerf else None
+        if lerf_fns is not None:
+            lerf_fns = (jax.checkpoint(lerf_fns[0]), lerf_fns[1])
         tx = self.tx
         n_iters = tp.n_iters
         sp_alpha0 = self.sp_alpha0

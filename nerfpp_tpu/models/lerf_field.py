@@ -46,5 +46,7 @@ class LeRFField:
 
         h = jnp.concatenate([geo_feat_le, x], axis=-1)
         le = nn.mlp(params["le_net"], h, compute_dtype=self.compute_dtype)
-        le = le / jnp.maximum(jnp.linalg.norm(le, axis=-1, keepdims=True), 1e-8)
+        # rsqrt(sum + eps) keeps the gradient finite when le == 0 exactly
+        # (bias-free ReLU stacks do emit exact zeros at init)
+        le = le * jax.lax.rsqrt(jnp.sum(le * le, axis=-1, keepdims=True) + 1e-12)
         return jnp.concatenate([le, sigma_le], axis=-1)

@@ -43,7 +43,9 @@ def render_clip_embedding(embeds: jnp.ndarray, weights: jnp.ndarray,
     (LeRFRenderer.h:45-54)."""
     out = jnp.sum(weights[..., None] * embeds, axis=-2)
     if normalize:
-        out = out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-8)
+        # rsqrt(sum + eps): finite gradient at the all-zero embedding
+        out = out * jax.lax.rsqrt(jnp.sum(out * out, axis=-1, keepdims=True)
+                                  + 1e-12)
     return out
 
 

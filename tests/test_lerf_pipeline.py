@@ -1,0 +1,134 @@
+"""LeRF pipeline tests: pyramid embedder, dense lookup, end-to-end train step."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nerfpp_tpu.data.pyramid_clip import (PyramidEmbedder,
+                                          PyramidEmbedderProperties,
+                                          PyramidEmbedding,
+                                          RandomProjectionPatchEncoder,
+                                          compute_or_load_pyramid)
+
+
+def _props():
+    return PyramidEmbedderProperties(img_size=16, overlap=0.5, max_zoom_out=1)
+
+
+def _images(n=2, hw=64):
+    rng = np.random.RandomState(0)
+    return rng.rand(n, hw, hw, 3).astype(np.float32)
+
+
+def test_pyramid_grid_counts():
+    props = _props()
+    zooms = props.zooms_for(64, 64)
+    assert zooms == [-1, 0, 1]
+    nh, nw, win, stride = props.grid(64, 64, 0)
+    # win 16, stride 8 -> (64 - 8) / 8 = 7
+    assert (nh, nw, win, stride) == (7, 7, 16.0, 8.0)
+    nh, nw, win, stride = props.grid(64, 64, -1)
+    assert win == 8.0 and stride == 4.0 and nh == 15
+
+
+def test_pyramid_embedder_shapes_and_norm():
+    props = _props()
+    enc = RandomProjectionPatchEncoder(embed_dim=32, input_size=8)
+    emb = PyramidEmbedder(enc, props)(_images())
+    assert (0, 0) in emb.grids and (1, 1) in emb.grids
+    g = emb.grids[(0, 0)]
+    assert g.shape == (7, 7, 32)
+    np.testing.assert_allclose(np.linalg.norm(g, axis=-1), 1.0, atol=1e-5)
+
+
+def test_pixel_lookup_interpolates():
+    props = _props()
+    enc = RandomProjectionPatchEncoder(embed_dim=16, input_size=8)
+    emb = PyramidEmbedder(enc, props)(_images(1))
+    xs = np.array([10.0, 30.0, 60.0])
+    ys = np.array([10.0, 20.0, 50.0])
+    vals = emb.get_pixel_values(0, xs, ys, scale=0.5)
+    assert vals.shape == (3, 16)
+    np.testing.assert_allclose(np.linalg.norm(vals, axis=-1), 1.0, atol=1e-5)
+    # nearby pixels give similar embeddings (continuity)
+    v1 = emb.get_pixel_values(0, np.array([20.0]), np.array([20.0]), 0.5)
+    v2 = emb.get_pixel_values(0, np.array([20.5]), np.array([20.0]), 0.5)
+    assert float(np.dot(v1[0], v2[0])) > 0.98
+
+
+def test_dense_pixel_embeddings_match_pointwise():
+    props = _props()
+    enc = RandomProjectionPatchEncoder(embed_dim=16, input_size=8)
+    emb = PyramidEmbedder(enc, props)(_images(1))
+    dense = emb.dense_pixel_embeddings(0, scale=0.5)
+    assert dense.shape == (64, 64, 16)
+    xs = np.array([5.0, 33.0])
+    ys = np.array([7.0, 50.0])
+    point = emb.get_pixel_values(0, xs, ys, 0.5)
+    np.testing.assert_allclose(dense[7, 5], point[0], atol=1e-5)
+    np.testing.assert_allclose(dense[50, 33], point[1], atol=1e-5)
+
+
+def test_cache_roundtrip(tmp_path):
+    props = _props()
+    enc = RandomProjectionPatchEncoder(embed_dim=16, input_size=8)
+    images = _images(1)
+    cache = tmp_path / "pyramid_embeddings.npz"
+    emb1 = compute_or_load_pyramid(images, enc, props, cache)
+    assert cache.exists()
+    emb2 = compute_or_load_pyramid(images, enc, props, cache)  # cache hit
+    for k in emb1.grids:
+        np.testing.assert_allclose(emb1.grids[k], emb2.grids[k], atol=1e-6)
+
+
+def test_lerf_end_to_end_train_step():
+    """Full LeRF+NeRF joint training: a few steps must reduce both losses."""
+    from nerfpp_tpu.config import hashnerf_preset, TrainParams
+    from nerfpp_tpu.data.dataset import RayBatchSampler
+    from nerfpp_tpu.data.synthetic import make_synthetic_scene
+    from nerfpp_tpu.executor import NeRFExecutor
+
+    scene = make_synthetic_scene(n_train=3, n_val=1, n_test=1, image_hw=32,
+                                 white_bkgr=False)
+    props = PyramidEmbedderProperties(img_size=8, overlap=0.5, max_zoom_out=1)
+    enc = RandomProjectionPatchEncoder(embed_dim=24, input_size=8)
+    emb = PyramidEmbedder(enc, props)(scene.images[:3])
+    lang = np.stack([emb.dense_pixel_embeddings(i, 0.5) for i in range(3)])
+
+    p = hashnerf_preset(
+        n_importance=8, log2_hashmap_size=10, finest_resolution=32, n_levels=4,
+        use_lerf=True, lang_embed_dim=24, n_levels_le=2,
+        log2_hashmap_size_le=8, finest_resolution_le=16,
+        density_activation="trunc_exp")
+    tp = TrainParams(n_samples=8, n_rand=64, n_iters=100, chunk=128,
+                     i_print=0, i_weights=0, i_testset=0)
+    ex = NeRFExecutor(p)
+    ex.white_bkgr = False
+    ex.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+    assert "lang_embed" in ex.state["params"]
+    assert "lang_model" in ex.state["params"]
+
+    sampler = RayBatchSampler.from_scene(scene, tp.n_rand,
+                                         lang_embeddings=lang)
+    train_step = ex._build_train_step(tp)
+    state = ex.state
+    key = jax.random.PRNGKey(0)
+    state, m0 = train_step(state, sampler, key)
+    losses = []
+    for _ in range(30):
+        state, m = train_step(state, sampler, key)
+        losses.append(float(m["lang_loss"]))
+    assert np.isfinite(losses).all()
+    # language loss should decrease over training
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+    # relevancy rendering with prompts
+    ex.state = state
+    pos = enc.encode_text(["target"])
+    neg = enc.encode_text(["object", "stuff"])
+    ex.set_lerf_prompts(jnp.asarray(pos), jnp.asarray(neg))
+    v = scene.views[0]
+    out = ex.render_view(v.pose, v.h, v.w, v.k, tp)
+    rel = out["lerf"].relevancy
+    assert rel is not None and rel.shape == (32, 32, 1)
+    assert np.isfinite(np.asarray(rel)).all()
