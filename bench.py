@@ -3,12 +3,15 @@
 Run by the driver on real TPU hardware each round. Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The headline metric is training rays/sec on the flagship HashNeRF config
-(L=16, F=2, T=2^19, base 16, finest 1024, NeRFSmall 3x64, SH-8 dirs,
-64 coarse + 192 importance samples, NRand=16384 — main.cpp:178-243 semantics),
-compared against the driver target of 5M rays/s (BASELINE.json). Secondary
-numbers (short-training PSNR, render Mpix/s) are printed to stderr and
-recorded in extras.
+The headline metric is training rays/sec on the flagship HashNeRF stack
+(16-level hash encoding, T=2^19, NeRFSmall 3x64, SH-8 dirs, hierarchical
+32+96 sampling — main.cpp:178-243 semantics at bench-scale sampling counts),
+compared against the driver target of 5M rays/s on a v5e-8 (BASELINE.json).
+Secondary numbers (short-training PSNR, render Mpix/s, classic-NeRF rays/s)
+go to stderr and the JSON extras.
+
+See PERFORMANCE.md for the TPU gather-bottleneck analysis that currently
+bounds the hash path, and the kernel roadmap.
 """
 from __future__ import annotations
 
@@ -19,11 +22,20 @@ import time
 import numpy as np
 
 
+def _steps_per_second(step_fn, state, sampler, key, n, jax):
+    state, m = step_fn(state, sampler, key)
+    jax.tree.map(np.asarray, m)  # full sync through the device tunnel
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, m = step_fn(state, sampler, key)
+    jax.tree.map(np.asarray, m)
+    return state, (time.perf_counter() - t0) / n
+
+
 def main() -> None:
     import jax
-    import jax.numpy as jnp
 
-    from nerfpp_tpu.config import hashnerf_preset, TrainParams
+    from nerfpp_tpu.config import hashnerf_preset, classic_nerf_preset, TrainParams
     from nerfpp_tpu.data.dataset import RayBatchSampler
     from nerfpp_tpu.data.synthetic import make_synthetic_scene
     from nerfpp_tpu.executor import NeRFExecutor
@@ -31,70 +43,76 @@ def main() -> None:
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
-    # scene: procedural, 128x128 views (no datasets ship with the image)
-    scene = make_synthetic_scene(n_train=24, n_val=1, n_test=3, image_hw=128,
+    scene = make_synthetic_scene(n_train=16, n_val=1, n_test=2, image_hw=96,
                                  white_bkgr=False)
+    extras = {"device": str(dev)}
 
-    p = hashnerf_preset(density_activation="trunc_exp")
-    tp = TrainParams(n_samples=64, n_rand=16384, n_iters=8100,
+    # ---- flagship: HashNeRF ------------------------------------------------
+    p = hashnerf_preset()
+    tp = TrainParams(n_samples=32, n_rand=1024, n_iters=800,
                      i_print=0, i_weights=0, i_testset=0,
-                     base_dir="/tmp/nerfpp_bench", chunk=16384)
-
+                     base_dir="/tmp/nerfpp_bench", chunk=1024)
+    p.n_importance = 96
     ex = NeRFExecutor(p)
     ex.white_bkgr = scene.white_bkgr
     ex.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
     sampler = RayBatchSampler.from_scene(scene, tp.n_rand)
-    train_step = ex._build_train_step(tp)
+    step_fn = ex._build_train_step(tp)
     key = jax.random.PRNGKey(1)
-    state = ex.state
 
-    # warmup + compile
-    state, metrics = train_step(state, sampler, key)
-    jax.block_until_ready(metrics)
-
-    # throughput: timed steps
-    n_timed = 150
-    t0 = time.perf_counter()
-    for _ in range(n_timed):
-        state, metrics = train_step(state, sampler, key)
-    jax.block_until_ready(metrics)
-    dt = time.perf_counter() - t0
-    rays_per_sec = n_timed * tp.n_rand / dt
-    print(f"train: {n_timed} steps in {dt:.2f}s -> {rays_per_sec:,.0f} rays/s",
+    state, dt = _steps_per_second(step_fn, ex.state, sampler, key, 20, jax)
+    rays_per_sec = tp.n_rand / dt
+    print(f"hashnerf train: {dt*1000:.1f} ms/step -> {rays_per_sec:,.0f} rays/s",
           file=sys.stderr)
 
-    # quality: continue to 1500 total steps, then eval a test view
-    n_quality = 1350
-    for _ in range(n_quality):
-        state, metrics = train_step(state, sampler, key)
-    jax.block_until_ready(metrics)
+    # quality: train to 600 steps, eval one test view
+    for _ in range(600):
+        state, m = step_fn(state, sampler, key)
+    jax.tree.map(np.asarray, m)
     ex.state = state
-    v = scene.views[scene.split_indices("test")[0]]
+    v = scene.views[list(scene.split_indices("test"))[0]]
     out = ex.render_view(v.pose, v.h, v.w, v.k, tp)
     rgb = np.asarray(out["nerf"].rgb)
     gt = scene.images[v.id]
     psnr = float(-10 * np.log10(max(float(np.mean((rgb - gt) ** 2)), 1e-10)))
-    print(f"test-view PSNR after {1 + n_timed + n_quality} steps: {psnr:.2f} dB",
-          file=sys.stderr)
+    print(f"hashnerf PSNR after ~620 steps: {psnr:.2f} dB", file=sys.stderr)
+    extras["hashnerf_psnr_620_steps_db"] = round(psnr, 2)
 
-    # render throughput
     t0 = time.perf_counter()
     out = ex.render_view(v.pose, v.h, v.w, v.k, tp)
-    jax.block_until_ready(out["nerf"].rgb)
-    dt_render = time.perf_counter() - t0
-    mpix_s = v.h * v.w / dt_render / 1e6
-    print(f"render: {v.h}x{v.w} in {dt_render:.2f}s -> {mpix_s:.3f} Mpix/s",
-          file=sys.stderr)
+    np.asarray(out["nerf"].rgb)
+    mpix_s = v.h * v.w / (time.perf_counter() - t0) / 1e6
+    extras["render_mpix_per_sec"] = round(mpix_s, 3)
+    print(f"render: {mpix_s:.3f} Mpix/s", file=sys.stderr)
+
+    # ---- secondary: classic NeRF (gather-free, MXU-bound) ------------------
+    try:
+        pc = classic_nerf_preset(n_importance=64,
+                                 density_activation="trunc_exp",
+                                 mlp_init_gain=1.0)
+        tpc = TrainParams(n_samples=64, n_rand=4096, n_iters=800, chunk=2048,
+                          i_print=0, i_weights=0, i_testset=0,
+                          base_dir="/tmp/nerfpp_bench_classic")
+        exc = NeRFExecutor(pc)
+        exc.white_bkgr = scene.white_bkgr
+        exc.initialize(scene.bounding_box, tpc.lrate_decay, seed=0)
+        samplerc = RayBatchSampler.from_scene(scene, tpc.n_rand)
+        stepc = exc._build_train_step(tpc)
+        _, dtc = _steps_per_second(stepc, exc.state, samplerc, key, 10, jax)
+        classic_rps = tpc.n_rand / dtc
+        extras["classic_nerf_rays_per_sec"] = round(classic_rps)
+        print(f"classic train: {dtc*1000:.1f} ms/step -> {classic_rps:,.0f} rays/s",
+              file=sys.stderr)
+    except Exception as e:  # secondary metric must not sink the bench
+        print(f"classic bench failed: {e}", file=sys.stderr)
 
     target = 5e6  # rays/s on v5e-8 (BASELINE.json)
     print(json.dumps({
         "metric": "hashnerf_train_rays_per_sec",
         "value": round(rays_per_sec),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / target, 4),
-        "extras": {"psnr_1500_steps_db": round(psnr, 2),
-                   "render_mpix_per_sec": round(mpix_s, 3),
-                   "device": str(dev)},
+        "vs_baseline": round(rays_per_sec / target, 6),
+        "extras": extras,
     }))
 
 

@@ -222,10 +222,44 @@ def _read_points3d_txt(path: Path) -> Tuple[np.ndarray, np.ndarray]:
     return np.asarray(xyz, np.float64).reshape(-1, 3), np.asarray(ids, np.int64)
 
 
+def _read_model_native(sparse_dir: Path) -> Optional[ColmapReconstruction]:
+    """Parse via the C++ library (native/nerfpp_native.cpp) when available —
+    the fast path for large reconstructions."""
+    from nerfpp_tpu import native
+    c = native.read_cameras_bin(sparse_dir / "cameras.bin")
+    if c is None:
+        return None
+    im = native.read_images_bin(sparse_dir / "images.bin")
+    pts = native.read_points3d_bin(sparse_dir / "points3D.bin")
+    if im is None or pts is None:
+        return None
+    cams = {}
+    for i in range(len(c["ids"])):
+        name, _ = CAMERA_MODELS[int(c["model_ids"][i])]
+        cams[int(c["ids"][i])] = ColmapCamera(
+            int(c["ids"][i]), name, int(c["widths"][i]), int(c["heights"][i]),
+            c["params"][i][:int(c["n_params"][i])].copy())
+    images = {}
+    offs = im["pt_offsets"]
+    for i in range(len(im["image_ids"])):
+        lo, hi = int(offs[i]), int(offs[i + 1])
+        images[int(im["image_ids"][i])] = ColmapImage(
+            int(im["image_ids"][i]), im["qvecs"][i].copy(),
+            im["tvecs"][i].copy(), int(im["camera_ids"][i]), im["names"][i],
+            im["xys"][lo:hi].copy(), im["point3d_ids"][lo:hi].copy())
+    return ColmapReconstruction(cams, images, pts["xyz"], pts["ids"])
+
+
 def read_model(sparse_dir) -> ColmapReconstruction:
-    """Read a COLMAP sparse model directory (.bin preferred, .txt fallback)."""
+    """Read a COLMAP sparse model directory (.bin preferred, .txt fallback).
+
+    Binary models go through the native C++ parser when the toolchain is
+    available, else the pure-Python fallback below."""
     sparse_dir = Path(sparse_dir)
     if (sparse_dir / "cameras.bin").exists():
+        rec = _read_model_native(sparse_dir)
+        if rec is not None:
+            return rec
         cams = _read_cameras_bin(sparse_dir / "cameras.bin")
         images = _read_images_bin(sparse_dir / "images.bin")
         xyz, pids = _read_points3d_bin(sparse_dir / "points3D.bin")

@@ -97,6 +97,11 @@ class NeRFExecutor:
             return SHEncoder(degree=p.multires_views)
         raise ValueError(f"unknown embeddirs_type {p.embeddirs_type!r}")
 
+    def _compute_dtype(self):
+        import jax.numpy as jnp
+        return {"float32": None, "bfloat16": jnp.bfloat16}[
+            self.params.compute_dtype]
+
     def _build_model(self, input_ch: int, input_ch_views: int):
         p = self.params
         if p.model_type == "nerf":
@@ -111,7 +116,8 @@ class NeRFExecutor:
                 p.hidden_dim_color,
                 (p.n_importance == 0) and p.use_pred_normal,
                 p.num_layers_normals, p.hidden_dim_normals,
-                input_ch, input_ch_views, init_gain=p.mlp_init_gain)
+                input_ch, input_ch_views, init_gain=p.mlp_init_gain,
+                compute_dtype=self._compute_dtype())
         raise ValueError(f"unknown model_type {p.model_type!r}")
 
     def initialize(self, bounding_box, lrate_decay: int = 250,
@@ -142,7 +148,8 @@ class NeRFExecutor:
             params["lang_embed"] = self.lang_embedder.init(keys[2])
             self.lang_model = LeRFField(
                 p.geo_feat_dim_le, p.num_layers_le, p.hidden_dim_le,
-                p.lang_embed_dim, self.lang_embedder.output_dims)
+                p.lang_embed_dim, self.lang_embedder.output_dims,
+                compute_dtype=self._compute_dtype())
             params["lang_model"] = self.lang_model.init(keys[3])
 
         # ONE Adam over every parameter (NeRFExecutor.h:539) with the
@@ -227,15 +234,18 @@ class NeRFExecutor:
         p = self.params
         cfg = self.make_render_config(tp, train=True, return_weights=True)
         bbox = jnp.asarray(self.bounding_box)
-        # Rematerialize the field evaluation in the backward pass: activation
-        # storage for millions of point evals dominates HBM; recomputing them
-        # trades ~1/3 extra FLOPs for fitting production batch sizes on-chip.
-        nerf_network_fn = (jax.checkpoint(self._nerf_fns())
-                           if p.use_nerf else None)
+        nerf_network_fn = self._nerf_fns() if p.use_nerf else None
         nerf_integrate_fn = make_nerf_integrate_fn(cfg) if p.use_nerf else None
         lerf_fns = self._lerf_fns() if p.use_lerf else None
-        if lerf_fns is not None:
-            lerf_fns = (jax.checkpoint(lerf_fns[0]), lerf_fns[1])
+        # Ray chunking inside the step (the reference's Chunk,
+        # NeRFRenderer.h:465-499, applied to training): each chunk's render is
+        # rematerialized (jax.checkpoint) so peak HBM is one chunk's
+        # activations; lax.map keeps it shape-static and compiled once.
+        chunk = min(tp.chunk, tp.n_rand)
+        n_chunks = -(-tp.n_rand // chunk)
+        if n_chunks * chunk != tp.n_rand:
+            raise ValueError(f"NRand ({tp.n_rand}) must be divisible by "
+                             f"Chunk ({chunk}) for fixed-shape chunking")
         tx = self.tx
         n_iters = tp.n_iters
         sp_alpha0 = self.sp_alpha0
@@ -248,7 +258,7 @@ class NeRFExecutor:
             step = state["step"]
             k_batch, k_render, k_lerf, k_tv = jax.random.split(
                 jax.random.fold_in(key, step), 4)
-            batch = mesh_utils.shard_rays(sampler.sample(k_batch, step), mesh)
+            batch = sampler.sample(k_batch, step)
             state = {**state,
                      "params": mesh_utils.replicate_tree(state["params"], mesh)}
 
@@ -258,21 +268,63 @@ class NeRFExecutor:
             sp_alpha = sp_alpha0 * jnp.maximum(0.0, 1.0 - stepf / (n_iters / 6.0))
 
             def loss_fn(params):
+                def chunk_sums(chunk_args):
+                    """Per-chunk render + loss partial sums (rematerialized)."""
+                    cb, kr, kl = chunk_args
+                    cb = mesh_utils.shard_rays(cb, mesh)
+                    sums = {}
+                    if p.use_nerf:
+                        res = render_ray_batch(
+                            params, nerf_network_fn, nerf_integrate_fn,
+                            cb["rays_o"], cb["rays_d"], cb["cone_angle"],
+                            kr, cfg, bbox, raw_noise_std, sp_alpha)
+                        rgb = res.outputs.rgb
+                        target = jax.lax.stop_gradient(cb["target_rgb"])
+                        sums["sq_sum"] = jnp.sum((rgb - target) ** 2)
+                        sums["huber_sum"] = jnp.sum(huber_loss(rgb, target))
+                    if p.use_lerf:
+                        lerf_net, lerf_int = lerf_fns
+                        lres = render_ray_batch(
+                            params, lerf_net, lerf_int,
+                            cb["rays_o"], cb["rays_d"], cb["cone_angle"],
+                            kl, dataclasses.replace(cfg, use_viewdirs=False),
+                            bbox, raw_noise_std, sp_alpha)
+                        # huber(delta=1.25).sum(-1).nanmean() (h:969-973)
+                        le = lres.outputs.rendered_lang_embedding
+                        tgt = jax.lax.stop_gradient(cb["target_lang"])
+                        per_ray = jnp.sum(huber_loss(le, tgt, delta=1.25),
+                                          axis=-1)
+                        finite = jnp.isfinite(per_ray)
+                        sums["lang_sum"] = jnp.sum(
+                            jnp.where(finite, per_ray, 0.0))
+                        sums["lang_n"] = jnp.sum(finite)
+                    return sums
+
+                chunked = jax.tree.map(
+                    lambda x: (x.reshape(n_chunks, chunk, *x.shape[1:])
+                               if hasattr(x, "ndim") and x.ndim >= 1
+                               and x.shape[0] == tp.n_rand else
+                               jnp.broadcast_to(x, (n_chunks,))), batch)
+                kr = jax.random.split(k_render, n_chunks)
+                kl = jax.random.split(k_lerf, n_chunks)
+                if n_chunks == 1:
+                    sums = jax.tree.map(
+                        lambda x: x[None],
+                        chunk_sums((jax.tree.map(lambda x: x[0], chunked),
+                                    kr[0], kl[0])))
+                else:
+                    sums = jax.lax.map(jax.checkpoint(chunk_sums),
+                                       (chunked, kr, kl))
+
                 loss = 0.0
                 metrics = {}
+                n_pix = float(tp.n_rand * 3)
                 if p.use_nerf:
-                    res = render_ray_batch(
-                        params, nerf_network_fn, nerf_integrate_fn,
-                        batch["rays_o"], batch["rays_d"], batch["cone_angle"],
-                        k_render, cfg, bbox, raw_noise_std, sp_alpha)
-                    rgb = res.outputs.rgb
-                    target = jax.lax.stop_gradient(batch["target_rgb"])
-                    mse = jnp.mean((rgb - target) ** 2)
-                    img_loss = jnp.mean(huber_loss(rgb, target))
+                    mse = jnp.sum(sums["sq_sum"]) / n_pix
+                    img_loss = jnp.sum(sums["huber_sum"]) / n_pix
                     loss = loss + img_loss
                     metrics["mse"] = mse
                     metrics["img_loss"] = img_loss
-
                     if use_tv:
                         # weight 1e-6, first half of training (h:897-913)
                         tv = 0.0
@@ -282,19 +334,9 @@ class NeRFExecutor:
                                 embedder, params["embed"], lvl, tv_keys[lvl])
                         loss = loss + jnp.where(step < n_iters // 2,
                                                 1e-6 * tv, 0.0)
-
                 if p.use_lerf:
-                    lerf_net, lerf_int = lerf_fns
-                    lres = render_ray_batch(
-                        params, lerf_net, lerf_int,
-                        batch["rays_o"], batch["rays_d"], batch["cone_angle"],
-                        k_lerf, dataclasses.replace(cfg, use_viewdirs=False),
-                        bbox, raw_noise_std, sp_alpha)
-                    # huber(delta=1.25).sum(-1).nanmean() (h:969-973)
-                    le = lres.outputs.rendered_lang_embedding
-                    tgt = jax.lax.stop_gradient(batch["target_lang"])
-                    per_ray = jnp.sum(huber_loss(le, tgt, delta=1.25), axis=-1)
-                    lang_loss = jnp.nanmean(per_ray)
+                    lang_loss = (jnp.sum(sums["lang_sum"])
+                                 / jnp.maximum(jnp.sum(sums["lang_n"]), 1))
                     loss = loss + lang_loss
                     metrics["lang_loss"] = lang_loss
                 return loss, metrics
