@@ -108,7 +108,8 @@ class NeRFExecutor:
             output_ch = 5 if p.n_importance > 0 else 4
             return NeRFMLP(p.net_depth, p.net_width, input_ch, input_ch_views,
                            output_ch, frozenset({4}), p.use_viewdirs,
-                           init_gain=p.mlp_init_gain)
+                           init_gain=p.mlp_init_gain,
+                           compute_dtype=self._compute_dtype())
         if p.model_type == "nerf_small":
             # normals head only in a coarse-only net (NeRFExecutor.h:487)
             return NeRFSmall(
@@ -358,8 +359,12 @@ class NeRFExecutor:
 
     def train(self, scene: SceneData, tp: TrainParams,
               seed: int = 0, sampler: Optional[RayBatchSampler] = None,
-              lang_embeddings=None, progress_fn=None, mesh=None):
-        """The main optimization loop (Train, NeRFExecutor.h:842-1049)."""
+              lang_embeddings=None, progress_fn=None, mesh=None,
+              profile_dir: Optional[str] = None):
+        """The main optimization loop (Train, NeRFExecutor.h:842-1049).
+
+        ``profile_dir``: capture a jax.profiler device trace of steps 10-20
+        into this directory (utils/profiling.py)."""
         self.white_bkgr = scene.white_bkgr
         if self.state is None:
             self.initialize(scene.bounding_box, tp.lrate_decay, seed)
@@ -373,12 +378,21 @@ class NeRFExecutor:
         train_step = self._build_train_step(tp, mesh)
         key = jax.random.PRNGKey(seed + 1)
 
+        from nerfpp_tpu.utils import profiling
         state = self.state
         metrics = {}
         t_start = time.perf_counter()
         rays_done = 0
+        profiler_ctx = None
         for i in range(self.start + 1, tp.n_iters):
+            if profile_dir is not None and i == self.start + 10:
+                profiler_ctx = profiling.trace(profile_dir)
+                profiler_ctx.__enter__()
             state, metrics = train_step(state, sampler, key)
+            if profiler_ctx is not None and i == self.start + 20:
+                jax.block_until_ready(metrics["loss"])
+                profiler_ctx.__exit__(None, None, None)
+                profiler_ctx = None
             rays_done += tp.n_rand
 
             if tp.i_weights > 0 and i % tp.i_weights == 0:

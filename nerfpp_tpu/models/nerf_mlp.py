@@ -21,7 +21,8 @@ class NeRFMLP:
     def __init__(self, depth: int = 8, width: int = 256, input_ch: int = 3,
                  input_ch_views: int = 3, output_ch: int = 4,
                  skips: FrozenSet[int] = frozenset({4}),
-                 use_viewdirs: bool = False, init_gain: float = 0.1):
+                 use_viewdirs: bool = False, init_gain: float = 0.1,
+                 compute_dtype=None):
         self.depth = depth
         self.width = width
         self.input_ch = input_ch
@@ -30,6 +31,7 @@ class NeRFMLP:
         self.skips = frozenset(skips)
         self.use_viewdirs = use_viewdirs
         self.init_gain = init_gain
+        self.compute_dtype = compute_dtype
 
     def init(self, key: jax.Array) -> dict:
         d, w, g = self.depth, self.width, self.init_gain
@@ -57,19 +59,22 @@ class NeRFMLP:
         input_pts = x[..., :self.input_ch]
         input_views = x[..., self.input_ch:self.input_ch + self.input_ch_views]
 
+        cd = self.compute_dtype
         h = input_pts
         for i, layer in enumerate(params["pts_linears"]):
-            h = jax.nn.relu(nn.dense(layer, h))
+            h = jax.nn.relu(nn.dense(layer, h, cd))
             if i in self.skips:
-                h = jnp.concatenate([input_pts, h], axis=-1)
+                h = jnp.concatenate([input_pts, h.astype(input_pts.dtype)],
+                                    axis=-1)
 
         if self.use_viewdirs:
-            alpha = nn.dense(params["alpha_linear"], h)
-            feature = nn.dense(params["feature_linear"], h)
-            h = jnp.concatenate([feature, input_views], axis=-1)
+            alpha = nn.dense(params["alpha_linear"], h, cd)
+            feature = nn.dense(params["feature_linear"], h, cd)
+            h = jnp.concatenate([feature,
+                                 input_views.astype(feature.dtype)], axis=-1)
             for layer in params["views_linears"]:
-                h = jax.nn.relu(nn.dense(layer, h))
-            rgb = nn.dense(params["rgb_linear"], h)
+                h = jax.nn.relu(nn.dense(layer, h, cd))
+            rgb = nn.dense(params["rgb_linear"], h, cd)
             return jnp.concatenate([rgb, alpha], axis=-1)
-        h = jnp.concatenate([h, input_pts], axis=-1)
-        return nn.dense(params["output_linear"], h)
+        h = jnp.concatenate([h, input_pts.astype(h.dtype)], axis=-1)
+        return nn.dense(params["output_linear"], h, cd)

@@ -1,0 +1,71 @@
+"""Blender loader test against a synthetic transforms_*.json fixture."""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from nerfpp_tpu.core import rays as R
+from nerfpp_tpu.data.blender import (get_bbox3d_for_obj, get_bounds_for_obj,
+                                     load_blender_data)
+
+
+def _make_blender_fixture(tmp_path, n_train=3, n_val=1, hw=32):
+    import cv2
+    rng = np.random.RandomState(0)
+    camera_angle_x = 0.7
+    for split, count in [("train", n_train), ("val", n_val)]:
+        frames = []
+        (tmp_path / split).mkdir(exist_ok=True)
+        for i in range(count):
+            pose = R.pose_spherical(-180 + i * 57.0, -30.0, 4.0)
+            name = f"./{split}/r_{i}"
+            img = (rng.rand(hw, hw, 4) * 255).astype(np.uint8)
+            cv2.imwrite(str(tmp_path / f"{split}/r_{i}.png"), img)
+            frames.append({"file_path": name,
+                           "transform_matrix": pose.tolist()})
+        (tmp_path / f"transforms_{split}.json").write_text(
+            json.dumps({"camera_angle_x": camera_angle_x, "frames": frames}))
+    return camera_angle_x
+
+
+def test_load_blender_data(tmp_path):
+    angle = _make_blender_fixture(tmp_path)
+    scene = load_blender_data(tmp_path, testskip=True)
+    assert scene.splits_idx == [3, 1, 0]
+    v = scene.views[0]
+    assert v.h == v.w == 32
+    expected_focal = 0.5 * 32 / np.tan(0.5 * angle)
+    np.testing.assert_allclose(v.focal, expected_focal, rtol=1e-5)
+    np.testing.assert_allclose(v.k[0, 2], 16.0)
+    # near/far heuristic: 0.15 d / 0.6 d of camera spread (load_blender.h:83-96)
+    assert 0 < v.near < v.far
+    # all views share near/far
+    assert all(u.near == v.near and u.far == v.far for u in scene.views)
+    # bbox encloses the cameras' frustum sampling region
+    bb = scene.bounding_box
+    assert bb.shape == (6,) and (bb[3:] > bb[:3]).all()
+
+
+def test_load_blender_half_res(tmp_path):
+    _make_blender_fixture(tmp_path)
+    scene = load_blender_data(tmp_path, half_res=True)
+    v = scene.views[0]
+    assert v.h == v.w == 16
+    np.testing.assert_allclose(v.k[0, 2], 8.0)
+
+
+def test_blender_near_far_heuristic_math(tmp_path):
+    _make_blender_fixture(tmp_path)
+    scene = load_blender_data(tmp_path)
+    positions = np.stack([scene.views[i].pose[:3, 3]
+                          for i in scene.split_indices("train")])
+    d = np.linalg.norm(positions.max(0) - positions.min(0))
+    np.testing.assert_allclose(scene.views[0].near, 0.15 * d, rtol=1e-4)
+    np.testing.assert_allclose(scene.views[0].far, 0.6 * d, rtol=1e-4)
+
+
+def test_blender_explicit_near_far(tmp_path):
+    _make_blender_fixture(tmp_path)
+    scene = load_blender_data(tmp_path, near=2.0, far=6.0)
+    assert scene.views[0].near == 2.0 and scene.views[0].far == 6.0

@@ -1,0 +1,143 @@
+"""Executor integration tests: training improves PSNR, checkpoint resume,
+render_path artifacts, LR schedule, annealing."""
+import json
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nerfpp_tpu.config import ExecutorParams, TrainParams, hashnerf_preset
+from nerfpp_tpu.data.dataset import RayBatchSampler
+from nerfpp_tpu.data.synthetic import make_synthetic_scene
+from nerfpp_tpu.executor import NeRFExecutor
+
+
+def _small_setup(tmp_path, n_iters=60, **overrides):
+    scene = make_synthetic_scene(n_train=4, n_val=1, n_test=1, image_hw=24,
+                                 white_bkgr=False)
+    p = hashnerf_preset(n_importance=8, log2_hashmap_size=10,
+                        finest_resolution=32, n_levels=4, **overrides)
+    tp = TrainParams(n_samples=8, n_rand=128, n_iters=n_iters, chunk=128,
+                     i_print=0, i_weights=0, i_testset=0,
+                     base_dir=str(tmp_path / "out"))
+    return scene, p, tp
+
+
+def test_training_reduces_loss(tmp_path):
+    scene, p, tp = _small_setup(tmp_path, n_iters=80)
+    ex = NeRFExecutor(p)
+    ex.white_bkgr = scene.white_bkgr
+    ex.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+    sampler = RayBatchSampler.from_scene(scene, tp.n_rand)
+    step = ex._build_train_step(tp)
+    state = ex.state
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(80):
+        state, m = step(state, sampler, key)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+
+def test_checkpoint_save_restore_roundtrip(tmp_path):
+    scene, p, tp = _small_setup(tmp_path, n_iters=20)
+    ex = NeRFExecutor(p)
+    ex.white_bkgr = scene.white_bkgr
+    ex.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+    sampler = RayBatchSampler.from_scene(scene, tp.n_rand)
+    step = ex._build_train_step(tp)
+    state = ex.state
+    for _ in range(5):
+        state, _ = step(state, sampler, jax.random.PRNGKey(0))
+    ex.state = state
+    ckpt_dir = tmp_path / "ckpts"
+    ex.save_checkpoint(ckpt_dir)
+
+    # new executor restores automatically via ft_path (NeRFExecutor.h:541-566)
+    p2 = hashnerf_preset(n_importance=8, log2_hashmap_size=10,
+                         finest_resolution=32, n_levels=4,
+                         ft_path=str(ckpt_dir))
+    ex2 = NeRFExecutor(p2)
+    ex2.initialize(scene.bounding_box, tp.lrate_decay, seed=1)
+    assert ex2.start == 5
+    np.testing.assert_allclose(
+        np.asarray(ex2.state["params"]["embed"]["table"]),
+        np.asarray(state["params"]["embed"]["table"]), atol=1e-7)
+    # optimizer state restored too
+    o1 = jax.tree.leaves(jax.device_get(state["opt_state"]))
+    o2 = jax.tree.leaves(jax.device_get(ex2.state["opt_state"]))
+    for a, b in zip(o1, o2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_render_path_writes_artifacts(tmp_path):
+    scene, p, tp = _small_setup(tmp_path)
+    ex = NeRFExecutor(p)
+    ex.white_bkgr = scene.white_bkgr
+    ex.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+    v = scene.views[0]
+    out_dir = tmp_path / "renders"
+    ex.render_path([v.pose, scene.views[1].pose], v.h, v.w, v.k, tp, out_dir)
+    for i in range(2):
+        assert (out_dir / f"{i}.png").exists()
+        assert (out_dir / f"disp_{i}.png").exists()
+        assert (out_dir / f"depth_{i}.png").exists()
+    import cv2
+    img = cv2.imread(str(out_dir / "0.png"))
+    assert img.shape == (24, 24, 3)
+
+
+def test_render_factor_downscales(tmp_path):
+    scene, p, tp = _small_setup(tmp_path)
+    tp.render_factor = 2
+    ex = NeRFExecutor(p)
+    ex.white_bkgr = scene.white_bkgr
+    ex.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+    v = scene.views[0]
+    out = ex.render_view(v.pose, v.h, v.w, v.k, tp)
+    assert out["nerf"].rgb.shape == (12, 12, 3)
+
+
+def test_lr_schedule_matches_reference():
+    """lr = lr0 * 0.1^(step/(decay*1000)) (NeRFExecutor.h:991-996)."""
+    import optax
+    lr0, decay = 1e-2, 250
+    sched = optax.exponential_decay(lr0, decay * 1000, 0.1)
+    for step in [0, 1000, 250000, 500000]:
+        expect = lr0 * 0.1 ** (step / (decay * 1000))
+        np.testing.assert_allclose(float(sched(step)), expect, rtol=1e-5)
+
+
+def test_annealing_schedules(tmp_path):
+    """RawNoiseStd anneals to 0 by NIters/8; SP alpha by NIters/6
+    (NeRFExecutor.h:411-412)."""
+    n_iters = 800
+    for step, expect_noise in [(0, 1.0), (50, 0.5), (100, 0.0), (400, 0.0)]:
+        got = max(0.0, 1.0 - step / (n_iters / 8.0))
+        np.testing.assert_allclose(got, expect_noise)
+    sp0 = 0.02 * np.linalg.norm([2.4, 2.4, 2.4])
+    scene, p, tp = _small_setup(tmp_path)
+    ex = NeRFExecutor(p)
+    ex.initialize(scene.bounding_box, tp.lrate_decay)
+    np.testing.assert_allclose(
+        ex.sp_alpha0,
+        0.02 * np.linalg.norm(scene.bounding_box[3:] - scene.bounding_box[:3]),
+        rtol=1e-6)
+
+
+def test_config_artifacts_saved_like_reference(tmp_path):
+    """main.cpp:257-259 saves executor_params/executor_train_params/data.json."""
+    from nerfpp_tpu import cli
+    scene, p, tp = _small_setup(tmp_path, n_iters=3)
+    base = Path(tp.base_dir)
+    base.mkdir(parents=True, exist_ok=True)
+    p.save(base / "executor_params.json")
+    tp.save(base / "executor_train_params.json")
+    scene.save(base / "data.json")
+    assert ExecutorParams.load(base / "executor_params.json") == p
+    assert TrainParams.load(base / "executor_train_params.json") == tp
+    j = json.loads((base / "data.json").read_text())
+    assert len(j["Views"]) == 6
