@@ -35,7 +35,8 @@ def _steps_per_second(step_fn, state, sampler, key, n, jax):
 def main() -> None:
     import jax
 
-    from nerfpp_tpu.config import hashnerf_preset, classic_nerf_preset, TrainParams
+    from nerfpp_tpu.config import (hashnerf_preset, hashnerf_tpu_preset,
+                                   classic_nerf_preset, TrainParams)
     from nerfpp_tpu.data.dataset import RayBatchSampler
     from nerfpp_tpu.data.synthetic import make_synthetic_scene
     from nerfpp_tpu.executor import NeRFExecutor
@@ -47,8 +48,9 @@ def main() -> None:
                                  white_bkgr=False)
     extras = {"device": str(dev)}
 
-    # ---- flagship: HashNeRF ------------------------------------------------
-    p = hashnerf_preset()
+    # ---- flagship: HashNeRF (TPU-fast preset: fused Pallas encode kernel,
+    # VMEM-resident T=2^13 tables, MXU factorized-one-hot scatter backward) ---
+    p = hashnerf_tpu_preset()
     tp = TrainParams(n_samples=32, n_rand=1024, n_iters=800,
                      i_print=0, i_weights=0, i_testset=0,
                      base_dir="/tmp/nerfpp_bench", chunk=1024)
@@ -84,6 +86,21 @@ def main() -> None:
     mpix_s = v.h * v.w / (time.perf_counter() - t0) / 1e6
     extras["render_mpix_per_sec"] = round(mpix_s, 3)
     print(f"render: {mpix_s:.3f} Mpix/s", file=sys.stderr)
+
+    # ---- secondary: reference-parity big-table config (T=2^19, XLA path) ---
+    try:
+        pr = hashnerf_preset()
+        pr.n_importance = 96
+        exr = NeRFExecutor(pr)
+        exr.white_bkgr = scene.white_bkgr
+        exr.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+        stepr = exr._build_train_step(tp)
+        _, dtr = _steps_per_second(stepr, exr.state, sampler, key, 5, jax)
+        extras["hashnerf_t19_xla_rays_per_sec"] = round(tp.n_rand / dtr)
+        print(f"hashnerf T=2^19 (XLA path): {dtr*1000:.1f} ms/step -> "
+              f"{tp.n_rand/dtr:,.0f} rays/s", file=sys.stderr)
+    except Exception as e:
+        print(f"T=2^19 bench failed: {e}", file=sys.stderr)
 
     # ---- secondary: classic NeRF (gather-free, MXU-bound) ------------------
     try:

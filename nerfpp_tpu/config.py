@@ -103,6 +103,7 @@ class ExecutorParams:
     density_activation: str = "relu"  # "relu" (reference) | "trunc_exp" | "softplus"
     mlp_init_gain: float = 0.1        # xavier-normal gain (Trainable.h:32-53)
     compute_dtype: str = "bfloat16"   # MLP matmul dtype ("float32" | "bfloat16")
+    use_pallas_encoder: bool = False  # fused VMEM hash kernel (needs T <= 2^13)
 
     KEYMAP = {
         "net_depth": "net_depth", "net_width": "net_width",
@@ -140,6 +141,7 @@ class ExecutorParams:
         "density_activation": "density_activation",
         "mlp_init_gain": "mlp_init_gain",
         "compute_dtype": "compute_dtype",
+        "use_pallas_encoder": "use_pallas_encoder",
     }
 
 
@@ -196,6 +198,16 @@ def hashnerf_preset(**overrides) -> ExecutorParams:
         # and full-scale init — measured +10 dB over the reference's
         # relu + 0.1-gain combination at equal step counts
         density_activation="trunc_exp", mlp_init_gain=1.0)
+    for k, v in overrides.items():
+        setattr(p, k, v)
+    return p
+
+
+def hashnerf_tpu_preset(**overrides) -> ExecutorParams:
+    """TPU-fast HashNeRF: VMEM-resident tables (T=2^13) with the fused Pallas
+    encode kernel (39x the XLA gather path measured; PERFORMANCE.md). Same
+    architecture otherwise — the configuration our TPU benchmarks lead with."""
+    p = hashnerf_preset(log2_hashmap_size=13, use_pallas_encoder=True)
     for k, v in overrides.items():
         setattr(p, k, v)
     return p

@@ -114,6 +114,7 @@ class HashGridEncoder:
             self.resolutions = None
 
         self.table_rows = self.n_levels * self.level_size
+        self._pallas_fn = self._build_pallas_fn() if use_pallas else None
 
     def init(self, key: jax.Array) -> dict:
         """Feature table uniform(-1e-4, 1e-4) (NeRF.cpp:265-272 / CuHashEmbedder.cpp:24)."""
@@ -182,14 +183,71 @@ class HashGridEncoder:
         keep_mask = jnp.all(inside, axis=-1)
         xc = jnp.clip(x, box_min, box_max)
 
-        idx, frac = self.corner_indices(xc)                 # [N, L, 8], [N, L, 3]
-        table = params["table"]
         if self.use_pallas:
-            from nerfpp_tpu.pallas.hash_encode import gather_trilerp
-            feats = gather_trilerp(table, idx, frac)
-        else:
-            feats = gather_trilerp_reference(table, idx, frac)
+            return self._pallas_fn(params["table"], xc), keep_mask
+
+        idx, frac = self.corner_indices(xc)                 # [N, L, 8], [N, L, 3]
+        feats = gather_trilerp_reference(params["table"], idx, frac)
         return feats.reshape(x.shape[0], self.output_dims), keep_mask
+
+    def _build_pallas_fn(self):
+        """Fused-kernel encode with a custom VJP (backward via the XLA path).
+
+        See nerfpp_tpu/pallas/hash_encode.py for the kernel design; only
+        VMEM-resident table sizes are supported (T <= 2^13 per level)."""
+        from nerfpp_tpu.pallas import hash_encode as HE
+        if not HE.supports(self.n_levels, self.level_size,
+                           self.n_features_per_level):
+            raise ValueError(
+                f"fused kernel requires F=2 and n_levels*T*F*4 <= "
+                f"{HE.MAX_VMEM_TABLE_BYTES} bytes; got L={self.n_levels} "
+                f"T={self.level_size}")
+        if self.scheme == "random":
+            primes = tuple(tuple(int(v) for v in row) for row in self.primes)
+            scales = tuple(float(s) for s in self.level_scales)
+            resolutions = (0.0,) * self.n_levels
+        else:
+            primes = (tuple(int(v) for v in FIXED_PRIMES[:3]),) * self.n_levels
+            scales = (0.0,) * self.n_levels
+            resolutions = tuple(float(r) for r in self.resolutions)
+        kwargs = dict(
+            n_levels=self.n_levels, level_size=self.level_size,
+            scheme=self.scheme,
+            box_min=tuple(float(v) for v in self.bounding_box[:3]),
+            box_max=tuple(float(v) for v in self.bounding_box[3:]),
+            level_scales=scales, primes=primes, resolutions=resolutions)
+
+        enc = self
+
+        @jax.custom_vjp
+        def encode(table, x):
+            return HE.hash_encode_fused(table, x, **kwargs)
+
+        def encode_fwd(table, x):
+            return encode(table, x), (table, x)
+
+        def encode_bwd(res, g):
+            # grad_table[e, f] = sum over (point, level, corner) hitting e of
+            # w_corner * g[n, l, f] — the CUDA backward's atomicAdd
+            # (CuHashEmbedder.cu:188-201), realized per level as an MXU
+            # factorized one-hot scatter (ops/scatter_matmul.py).
+            from nerfpp_tpu.ops.scatter_matmul import scatter_add
+            table, x = res
+            n = x.shape[0]
+            idx, frac = enc.corner_indices(x)             # [N, L, 8], [N, L, 3]
+            w = trilerp_weights(frac)                     # [N, L, 8]
+            gl = g.reshape(n, enc.n_levels, enc.n_features_per_level)
+            grads = []
+            for l in range(enc.n_levels):
+                idx_l = (idx[:, l, :] - l * enc.level_size).reshape(-1)
+                vals = (w[:, l, :, None] * gl[:, l, None, :]).reshape(
+                    -1, enc.n_features_per_level)          # [N*8, F]
+                grads.append(scatter_add(idx_l, vals, enc.level_size))
+            gt = jnp.concatenate(grads, axis=0).astype(table.dtype)
+            return gt, None  # no position gradient (as in CuHashEmbedder.cu)
+
+        encode.defvjp(encode_fwd, encode_bwd)
+        return encode
 
 
 def trilerp_weights(frac: jnp.ndarray) -> jnp.ndarray:

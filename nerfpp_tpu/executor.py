@@ -86,7 +86,7 @@ class NeRFExecutor:
             return HashGridEncoder(
                 bounding_box, p.n_levels, p.n_features_per_level,
                 p.log2_hashmap_size, p.base_resolution, p.finest_resolution,
-                scheme=p.hash_scheme)
+                scheme=p.hash_scheme, use_pallas=p.use_pallas_encoder)
         raise ValueError(f"unknown embedder_type {p.embedder_type!r}")
 
     def _build_embeddirs(self):
