@@ -66,14 +66,25 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
             raise ValueError("stochastic sample_pdf requires a PRNG key")
         u = jax.random.uniform(key, u_shape, dtype=jnp.float32)
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # TPU note: vmapped searchsorted and take_along_axis lower to scalar
+    # loops/gathers. With m ~ O(100) bins, a dense compare-and-reduce
+    # ([rays, samples, m] elementwise, fully VPU-vectorized) is far faster:
+    # inds = #\{j : u >= cdf_j\} == searchsorted(cdf, u, side="right").
+    ge = (u[..., :, None] >= cdf[..., None, :])         # [R, S, m]
+    inds = jnp.sum(ge, axis=-1).astype(jnp.int32)
     below = jnp.maximum(0, inds - 1)
     above = jnp.minimum(cdf.shape[-1] - 1, inds)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), axis=-1)
-    bins_above = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), axis=-1)
+    def pick(src, j, clamp_hi):
+        jc = jnp.minimum(j, clamp_hi)
+        onehot = jc[..., :, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, src.shape[-1]), 2)
+        return jnp.sum(jnp.where(onehot, src[..., None, :], 0.0), axis=-1)
+
+    cdf_below = pick(cdf, below, cdf.shape[-1] - 1)
+    cdf_above = pick(cdf, above, cdf.shape[-1] - 1)
+    bins_below = pick(bins, below, bins.shape[-1] - 1)
+    bins_above = pick(bins, above, bins.shape[-1] - 1)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)

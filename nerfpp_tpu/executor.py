@@ -371,6 +371,13 @@ class NeRFExecutor:
         base_dir = Path(tp.base_dir)
         base_dir.mkdir(parents=True, exist_ok=True)
 
+        if tp.render_only:
+            # reload weights (done in initialize via ft_path) and render the
+            # test split — the RenderOnly branch the reference declares but
+            # never implements (NeRFExecutor.h:185, SURVEY.md §3.5)
+            self.render_test_split(scene, tp, base_dir / "renderonly")
+            return {}
+
         if sampler is None:
             sampler = RayBatchSampler.from_scene(
                 scene, tp.n_rand, tp.precorp_iters, tp.precorp_frac,
@@ -379,6 +386,10 @@ class NeRFExecutor:
         key = jax.random.PRNGKey(seed + 1)
 
         from nerfpp_tpu.utils import profiling
+        from nerfpp_tpu.utils.metrics import MetricsWriter
+        writer = MetricsWriter(base_dir)
+        val_idx = list(scene.split_indices("val")) or list(
+            scene.split_indices("train"))
         state = self.state
         metrics = {}
         t_start = time.perf_counter()
@@ -405,10 +416,18 @@ class NeRFExecutor:
                 self.state = state
                 self.render_test_split(scene, tp, base_dir)
 
+            if tp.i_img > 0 and i % tp.i_img == 0 and i > 0:
+                self.state = state
+                v = scene.views[val_idx[0]]
+                out = self.render_view(v.pose, v.h, v.w, v.k, tp)
+                if "nerf" in out:
+                    writer.write_image(i, "val_rgb", out["nerf"].rgb)
+
             if tp.i_print > 0 and i % tp.i_print == 0:
                 m = jax.device_get(metrics)
                 dt = time.perf_counter() - t_start
                 rps = rays_done / max(dt, 1e-9)
+                writer.write_scalars(i, {k: v for k, v in m.items()})
                 print(f"[TRAIN] Iter: {i} of {tp.n_iters} "
                       f"Loss: {m.get('loss', 0):.5f} "
                       f"PSNR: {m.get('psnr', 0):.2f} "
@@ -440,20 +459,47 @@ class NeRFExecutor:
         bbox = jnp.asarray(self.bounding_box)
         out: Dict[str, Any] = {}
         if self.params.use_nerf:
-            res, near_far = render_image(
-                self.state["params"], self._nerf_fns(),
-                make_nerf_integrate_fn(cfg), h, w, jnp.asarray(k),
-                jnp.asarray(pose), key, cfg, bbox)
+            fn = self._jitted_render(h, w, cfg, "nerf", with_relevancy)
+            res, near_far = fn(self.state["params"], jnp.asarray(k),
+                               jnp.asarray(pose), key)
             out["nerf"] = res
             out["near_far"] = near_far
         if self.params.use_lerf:
-            lerf_net, lerf_int = self._lerf_fns(with_relevancy=with_relevancy)
-            lres, _ = render_image(
-                self.state["params"], lerf_net, lerf_int, h, w,
-                jnp.asarray(k), jnp.asarray(pose), key,
-                dataclasses.replace(cfg, use_viewdirs=False), bbox)
+            fn = self._jitted_render(h, w, cfg, "lerf", with_relevancy)
+            lres, _ = fn(self.state["params"], jnp.asarray(k),
+                         jnp.asarray(pose), key)
             out["lerf"] = lres
         return out
+
+    def _jitted_render(self, h: int, w: int, cfg: RenderConfig, branch: str,
+                       with_relevancy: bool):
+        """Cache one compiled full-image renderer per (h, w, cfg, branch) —
+        full-image rendering is a single device dispatch, not an eager op
+        stream (the per-op dispatch latency through jit boundaries dominates
+        otherwise)."""
+        if not hasattr(self, "_render_cache"):
+            self._render_cache = {}
+        cache_key = (h, w, cfg, branch, with_relevancy)
+        if cache_key in self._render_cache:
+            return self._render_cache[cache_key]
+
+        bbox = jnp.asarray(self.bounding_box)
+        if branch == "nerf":
+            network_fn = self._nerf_fns()
+            integrate_fn = make_nerf_integrate_fn(cfg)
+            used_cfg = cfg
+        else:
+            network_fn, integrate_fn = self._lerf_fns(
+                with_relevancy=with_relevancy)
+            used_cfg = dataclasses.replace(cfg, use_viewdirs=False)
+
+        @jax.jit
+        def fn(params, k, pose, key):
+            return render_image(params, network_fn, integrate_fn, h, w, k,
+                                pose, key, used_cfg, bbox)
+
+        self._render_cache[cache_key] = fn
+        return fn
 
     def render_path(self, poses, h: int, w: int, k, tp: TrainParams,
                     save_dir) -> None:

@@ -153,9 +153,13 @@ def hash_encode_fused(table: jnp.ndarray, points: jnp.ndarray, *,
                           box_min, box_max, level_scales, primes, scheme,
                           resolutions)
     grid = (n_pad // point_block,)
+    # interpret mode makes the kernel runnable (slowly) on CPU for tests;
+    # on TPU it compiles through Mosaic.
+    interpret = jax.devices()[0].platform != "tpu"
     out_t = pl.pallas_call(
         kernel,
         grid=grid,
+        interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((2 * n_levels, n_pad), jnp.float32),
         in_specs=[
             pl.BlockSpec((8, point_block), lambda i: (0, i),
