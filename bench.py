@@ -3,11 +3,12 @@
 Run by the driver on real TPU hardware each round. Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The headline metric is training rays/sec on the flagship HashNeRF stack
-(16-level hash encoding, T=2^19, NeRFSmall 3x64, SH-8 dirs, hierarchical
-32+96 sampling — main.cpp:178-243 semantics at bench-scale sampling counts),
-compared against the driver target of 5M rays/s on a v5e-8 (BASELINE.json).
-Secondary numbers (short-training PSNR, render Mpix/s, classic-NeRF rays/s)
+The headline metric is training rays/sec on the TPU flagship HashNeRF stack
+(16-level hash encoding, VMEM-resident T=2^13 tables via the fused Pallas
+encode kernel + MXU factorized-one-hot scatter backward, NeRFSmall 3x64, SH-8
+dirs, hierarchical 32+96 sampling), compared against the driver target of
+5M rays/s on a v5e-8 (BASELINE.json). Secondary numbers (short-training PSNR,
+render Mpix/s, the reference-parity T=2^19 XLA-path rate, classic-NeRF rays/s)
 go to stderr and the JSON extras.
 
 See PERFORMANCE.md for the TPU gather-bottleneck analysis that currently
