@@ -80,7 +80,8 @@ class HashGridEncoder:
                  n_features_per_level: int = 2, log2_hashmap_size: int = 19,
                  base_resolution: int = 16, finest_resolution: int = 512,
                  scheme: str = "fixed", primes_seed: int = 0,
-                 table_dtype=jnp.float32, use_pallas: bool = False):
+                 table_dtype=jnp.float32, use_pallas: bool = False,
+                 pallas_packed: bool = True):
         if scheme not in ("fixed", "random"):
             raise ValueError(f"unknown hash scheme {scheme!r}")
         self.bounding_box = np.asarray(bounding_box, np.float32).reshape(6)
@@ -92,6 +93,7 @@ class HashGridEncoder:
         self.scheme = scheme
         self.table_dtype = table_dtype
         self.use_pallas = use_pallas
+        self.pallas_packed = pallas_packed
         self.output_dims = n_levels * n_features_per_level
 
         if scheme == "fixed":
@@ -215,7 +217,9 @@ class HashGridEncoder:
             scheme=self.scheme,
             box_min=tuple(float(v) for v in self.bounding_box[:3]),
             box_max=tuple(float(v) for v in self.bounding_box[3:]),
-            level_scales=scales, primes=primes, resolutions=resolutions)
+            level_scales=scales, primes=primes, resolutions=resolutions,
+            version="v2", packed=(self.table_dtype == jnp.bfloat16
+                                  or self.pallas_packed))
 
         enc = self
 
