@@ -235,20 +235,30 @@ class HashGridEncoder:
             # w_corner * g[n, l, f] — the CUDA backward's atomicAdd
             # (CuHashEmbedder.cu:188-201), realized per level as an MXU
             # factorized one-hot scatter (ops/scatter_matmul.py).
-            from nerfpp_tpu.ops.scatter_matmul import scatter_add
+            from nerfpp_tpu.ops.scatter_matmul import (scatter_add,
+                                                       scatter_add_matmul_batched)
             table, x = res
             n = x.shape[0]
+            f = enc.n_features_per_level
             idx, frac = enc.corner_indices(x)             # [N, L, 8], [N, L, 3]
             w = trilerp_weights(frac)                     # [N, L, 8]
-            gl = g.reshape(n, enc.n_levels, enc.n_features_per_level)
-            grads = []
-            for l in range(enc.n_levels):
-                idx_l = (idx[:, l, :] - l * enc.level_size).reshape(-1)
-                vals = (w[:, l, :, None] * gl[:, l, None, :]).reshape(
-                    -1, enc.n_features_per_level)          # [N*8, F]
-                grads.append(scatter_add(idx_l, vals, enc.level_size))
-            gt = jnp.concatenate(grads, axis=0).astype(table.dtype)
-            return gt, None  # no position gradient (as in CuHashEmbedder.cu)
+            gl = g.reshape(n, enc.n_levels, f)
+            level_off = (jnp.arange(enc.n_levels, dtype=jnp.int32)
+                         * enc.level_size)[None, :, None]
+            try:
+                idxs = (idx - level_off).transpose(1, 0, 2).reshape(
+                    enc.n_levels, n * 8)
+                vals = (w[..., None] * gl[:, :, None, :]).transpose(
+                    1, 0, 2, 3).reshape(enc.n_levels, n * 8, f)
+                gt = scatter_add_matmul_batched(idxs, vals, enc.level_size)
+            except ValueError:
+                grads = []
+                for l in range(enc.n_levels):
+                    idx_l = (idx[:, l, :] - l * enc.level_size).reshape(-1)
+                    vals = (w[:, l, :, None] * gl[:, l, None, :]).reshape(-1, f)
+                    grads.append(scatter_add(idx_l, vals, enc.level_size))
+                gt = jnp.concatenate(grads, axis=0)
+            return gt.astype(table.dtype), None  # no position gradient
 
         encode.defvjp(encode_fwd, encode_bwd)
         return encode
