@@ -52,9 +52,9 @@ def main() -> None:
     # ---- flagship: HashNeRF (TPU-fast preset: fused Pallas encode kernel,
     # VMEM-resident T=2^13 tables, MXU factorized-one-hot scatter backward) ---
     p = hashnerf_tpu_preset()
-    tp = TrainParams(n_samples=32, n_rand=1024, n_iters=800,
+    tp = TrainParams(n_samples=32, n_rand=4096, n_iters=800,
                      i_print=0, i_weights=0, i_testset=0,
-                     base_dir="/tmp/nerfpp_bench", chunk=1024)
+                     base_dir="/tmp/nerfpp_bench", chunk=4096)
     p.n_importance = 96
     ex = NeRFExecutor(p)
     ex.white_bkgr = scene.white_bkgr
