@@ -83,6 +83,38 @@ def _build_params(args):
     return p, tp
 
 
+def _build_lerf_supervision(scene, p, tp):
+    """Pyramid CLIP embeddings for LeRF training (cache-or-compute, mirroring
+    InitializePyramidClipEmbedding). Uses a real CLIP checkpoint when
+    path_to_clip is set, else the deterministic random-projection stand-in."""
+    import numpy as np
+    from nerfpp_tpu.data.dataset import load_images
+    from nerfpp_tpu.data.pyramid_clip import (PyramidEmbedderProperties,
+                                              RandomProjectionPatchEncoder,
+                                              compute_or_load_pyramid,
+                                              load_clip_encoder)
+
+    if p.path_to_clip:
+        encode_images, encode_text = load_clip_encoder(p.path_to_clip)
+    else:
+        stub = RandomProjectionPatchEncoder(embed_dim=p.lang_embed_dim)
+        encode_images, encode_text = stub, stub.encode_text
+    props = PyramidEmbedderProperties(
+        img_size=p.clip_input_img_size, overlap=p.pyr_embedder_overlap,
+        max_zoom_out=max(p.pyr_embed_min_zoom_out, 1))
+    train_idx = list(scene.split_indices("train"))
+    images = load_images(scene, train_idx)
+    # shrink the CLIP window if images are smaller than the model input
+    if min(images.shape[1:3]) < props.img_size * 2:
+        props.img_size = max(8, min(images.shape[1:3]) // 4)
+    cache = Path(tp.pyramid_clip_embedding_save_dir or tp.base_dir) \
+        / "pyramid_embeddings.npz"
+    pyramid = compute_or_load_pyramid(images, encode_images, props, cache)
+    lang = np.stack([pyramid.dense_pixel_embeddings(i, 0.5)
+                     for i in range(len(train_idx))])
+    return lang, encode_text
+
+
 def cmd_train(args) -> None:
     from nerfpp_tpu.executor import NeRFExecutor
 
@@ -91,7 +123,13 @@ def cmd_train(args) -> None:
     ex = NeRFExecutor(p)
     base_dir = Path(tp.base_dir)
     base_dir.mkdir(parents=True, exist_ok=True)
-    ex.train(scene, tp)
+    lang_embeddings = None
+    if p.use_lerf:
+        lang_embeddings, encode_text = _build_lerf_supervision(scene, p, tp)
+        ex.set_clip_encoder(encode_text)
+        if p.lerf_positives:
+            ex.set_lerf_prompts(p.lerf_positives, p.lerf_negatives)
+    ex.train(scene, tp, lang_embeddings=lang_embeddings)
     ex.save_checkpoint(base_dir)
     # save all three configs like main.cpp:257-259
     p.save(base_dir / "executor_params.json")

@@ -92,6 +92,31 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
     return bins_below + t * (bins_above - bins_below)
 
 
+def merge_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Merge two per-row sorted arrays: [R, n1], [R, n2] -> [R, n1+n2] sorted.
+
+    TPU-native replacement for jnp.sort(concat) in the importance-sample merge
+    (NeRFRenderer.h:431): ranks come from dense compare-reduces (pure VPU) and
+    values are placed with a one-hot contraction — no XLA sort network. Ties
+    rank ``a`` elements first, so output equals a stable merge.
+    """
+    n1, n2 = a.shape[-1], b.shape[-1]
+    n = n1 + n2
+    # rank of a_i = i + #{ b_j < a_i };  rank of b_j = j + #{ a_i <= b_j }
+    rank_a = (jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+              + jnp.sum(b[..., None, :] < a[..., :, None], axis=-1,
+                        dtype=jnp.int32))
+    rank_b = (jax.lax.broadcasted_iota(jnp.int32, b.shape, b.ndim - 1)
+              + jnp.sum(a[..., None, :] <= b[..., :, None], axis=-1,
+                        dtype=jnp.int32))
+    vals = jnp.concatenate([a, b], axis=-1)
+    ranks = jnp.concatenate([rank_a, rank_b], axis=-1)       # [R, n], unique
+    slots = jax.lax.broadcasted_iota(jnp.int32, vals.shape[:-1] + (n, n),
+                                     vals.ndim)
+    onehot = ranks[..., :, None] == slots                    # [R, n, n]
+    return jnp.sum(jnp.where(onehot, vals[..., :, None], 0.0), axis=-2)
+
+
 def reflect_boundary(pts: jnp.ndarray, min_bound: jnp.ndarray,
                      max_bound: jnp.ndarray) -> jnp.ndarray:
     """Fold points back into the box by mirror reflection at the faces.
