@@ -195,7 +195,8 @@ class NeRFExecutor:
 
         return make_nerf_network_fn(embed_fn, embed_dirs_fn, field_fn)
 
-    def _lerf_fns(self, with_relevancy: bool = False):
+    def _lerf_fns(self, with_relevancy: bool = False,
+                  use_raw_noise: bool = False):
         lang_embedder, lang_model = self.lang_embedder, self.lang_model
 
         def lang_embed_fn(params, x):
@@ -208,7 +209,8 @@ class NeRFExecutor:
         integrate_fn = lerf_render.make_lerf_integrate_fn(
             self.params.lang_embed_dim,
             self.lerf_positives if with_relevancy else None,
-            self.lerf_negatives if with_relevancy else None)
+            self.lerf_negatives if with_relevancy else None,
+            use_raw_noise=use_raw_noise)
         return network_fn, integrate_fn
 
     def make_render_config(self, tp: TrainParams, train: bool = True,
@@ -237,7 +239,9 @@ class NeRFExecutor:
         bbox = jnp.asarray(self.bounding_box)
         nerf_network_fn = self._nerf_fns() if p.use_nerf else None
         nerf_integrate_fn = make_nerf_integrate_fn(cfg) if p.use_nerf else None
-        lerf_fns = self._lerf_fns() if p.use_lerf else None
+        # training applies the annealed density noise to the LeRF field too
+        # (the reference passes the same FillRenderParams to both renderers)
+        lerf_fns = (self._lerf_fns(use_raw_noise=True) if p.use_lerf else None)
         # Ray chunking inside the step (the reference's Chunk,
         # NeRFRenderer.h:465-499, applied to training): each chunk's render is
         # rematerialized (jax.checkpoint) so peak HBM is one chunk's

@@ -76,7 +76,7 @@ def scatter_add_matmul(idx: jnp.ndarray, vals: jnp.ndarray, size: int,
 
 
 def scatter_add_matmul_batched(idxs: jnp.ndarray, vals: jnp.ndarray,
-                               size: int, q_chunk: int = 1 << 17,
+                               size: int, q_chunk: int = 1 << 15,
                                compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Batched multi-table scatter: L independent scatters in one scanned
     einsum — the hash-encoder backward over all levels at once.
