@@ -25,7 +25,6 @@ which needs no loss scale (wider exponent). Enable with ``table_dtype``.
 """
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import numpy as np

@@ -27,10 +27,9 @@ TPU-native re-design of the reference orchestrator (NeRFExecutor.h:299-1070):
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 from pathlib import Path
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import numpy as np
 import jax

@@ -23,8 +23,6 @@ scatter at 2^13-entry tables.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -26,9 +26,7 @@ implementation (correctness path); the fused kernel is primarily the
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

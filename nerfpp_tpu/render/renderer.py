@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from nerfpp_tpu.core import rays as ray_math
 from nerfpp_tpu.core import sampling as S
-from nerfpp_tpu.core.integrate import RenderOutputs, raw2outputs
+from nerfpp_tpu.core.integrate import raw2outputs
 
 
 @dataclasses.dataclass(frozen=True)
