@@ -95,10 +95,13 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
 def merge_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Merge two per-row sorted arrays: [R, n1], [R, n2] -> [R, n1+n2] sorted.
 
-    TPU-native replacement for jnp.sort(concat) in the importance-sample merge
-    (NeRFRenderer.h:431): ranks come from dense compare-reduces (pure VPU) and
-    values are placed with a one-hot contraction — no XLA sort network. Ties
-    rank ``a`` elements first, so output equals a stable merge.
+    Ranks come from dense compare-reduces (pure VPU) and values are placed
+    with a one-hot contraction — no XLA sort network. Ties rank ``a`` elements
+    first, so output equals a stable merge.
+
+    WARNING: both inputs MUST be row-sorted; the output is silently wrong
+    otherwise. In particular sample_pdf's output is NOT guaranteed sorted
+    (degenerate-bin fallback), so the renderer's z merge uses jnp.sort.
     """
     n1, n2 = a.shape[-1], b.shape[-1]
     n = n1 + n2

@@ -145,13 +145,12 @@ def render_rays(params: dict,
                                  cfg.n_importance, det=(cfg.perturb == 0.0),
                                  key=k_pdf)
         z_samples = jax.lax.stop_gradient(z_samples)
-        if cfg.perturb == 0.0:
-            # det inverse-CDF keeps z_samples sorted: rank-merge beats a full
-            # XLA sort on TPU (core/sampling.merge_sorted)
-            z_vals = S.merge_sorted(z_vals, z_samples)
-        else:
-            z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1),
-                              axis=-1)
+        # NOTE: z_samples are NOT guaranteed sorted even with det inverse-CDF
+        # (the degenerate-bin denom clamp in sample_pdf can locally reorder),
+        # so a full sort is required here; S.merge_sorted silently corrupts
+        # z ordering in that case (diverges training — verified).
+        z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1),
+                          axis=-1)
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
 
         if cfg.use_sp_noise and bounding_box is not None:
