@@ -68,8 +68,8 @@ def main() -> None:
     print(f"hashnerf train: {dt*1000:.1f} ms/step -> {rays_per_sec:,.0f} rays/s",
           file=sys.stderr)
 
-    # quality: train to 600 steps, eval one test view
-    for _ in range(600):
+    # quality: train to 1200 steps, eval one test view
+    for _ in range(1200):
         state, m = step_fn(state, sampler, key)
     jax.tree.map(np.asarray, m)
     ex.state = state
@@ -78,8 +78,8 @@ def main() -> None:
     rgb = np.asarray(out["nerf"].rgb)
     gt = scene.images[v.id]
     psnr = float(-10 * np.log10(max(float(np.mean((rgb - gt) ** 2)), 1e-10)))
-    print(f"hashnerf PSNR after ~620 steps: {psnr:.2f} dB", file=sys.stderr)
-    extras["hashnerf_psnr_620_steps_db"] = round(psnr, 2)
+    print(f"hashnerf PSNR after ~1220 steps: {psnr:.2f} dB", file=sys.stderr)
+    extras["hashnerf_psnr_1220_steps_db"] = round(psnr, 2)
 
     t0 = time.perf_counter()
     out = ex.render_view(v.pose, v.h, v.w, v.k, tp)
