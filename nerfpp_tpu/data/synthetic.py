@@ -82,6 +82,14 @@ def make_synthetic_scene(n_train: int = 24, n_val: int = 2, n_test: int = 4,
     n_total = n_train + n_val + n_test
     thetas = np.linspace(-180, 180, n_total, endpoint=False) + rng.uniform(0, 5, n_total)
     phis = -30.0 + 20.0 * np.sin(np.linspace(0, 4 * np.pi, n_total))
+    # Interleave the splits around the azimuth circle so val/test views are
+    # interpolations of the training distribution, not extrapolations past the
+    # last trained azimuth (which made held-out PSNR measure the wrong thing).
+    held_out = set(rng.choice(n_total, n_val + n_test, replace=False).tolist())
+    train_ids = [i for i in range(n_total) if i not in held_out]
+    order = np.asarray(train_ids + sorted(held_out), np.int64)
+    thetas = thetas[order]
+    phis = phis[order]
 
     near, far = 0.5 * radius, 1.5 * radius
     views, images = [], []
