@@ -27,10 +27,15 @@ def sample_z_vals(near: jnp.ndarray, far: jnp.ndarray, n_samples: int,
     bin (intervals below 1e-8 are left unjittered, as in NeRFRenderer.h:413-416).
     """
     t_vals = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)
+    # a + (b - a) * t, NOT a*(1-t) + b*t: the two-product lerp is not monotone
+    # under f32 rounding when (b - a) is at the ulp scale (grazing rays where
+    # the AABB near/far nearly coincide), and downstream (merge_sorted, dists)
+    # relies on sorted z. x*t with x >= 0 rounds monotonically in t.
     if not lin_disp:
-        z_vals = near * (1.0 - t_vals) + far * t_vals
+        z_vals = near + (far - near) * t_vals
     else:
-        z_vals = _safe_inv(_safe_inv(near) * (1.0 - t_vals) + _safe_inv(far) * t_vals)
+        inv_n = _safe_inv(near)
+        z_vals = _safe_inv(inv_n + (_safe_inv(far) - inv_n) * t_vals)
 
     if perturb > 0.0:
         if key is None:
@@ -52,6 +57,15 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
     Returns [n_rays, n_samples] new sample positions. Mirrors Sampler.h:6-43:
     +1e-8 weight floor, CDF with zero prefix, right-bisect ``searchsorted``,
     degenerate bins (cdf span < 1e-5) fall back to the lower edge.
+
+    The output is SORTED per ray, by construction: stochastic u are drawn as
+    order statistics (normalized exponential gaps — the same marginal
+    distribution as sorting n iid uniforms, at O(n) cost), and a final cummax
+    removes the sub-1e-5 wiggles the degenerate-bin clamp can introduce. This
+    lets the renderer merge coarse and fine depths with the cheap rank merge
+    (``merge_sorted``) instead of a full ``jnp.sort``. The reference draws
+    unsorted u and pays a sort on the merged depths instead
+    (Sampler.h:25-27, NeRFRenderer.h:431).
     """
     weights = weights + 1e-8
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
@@ -64,7 +78,14 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
     else:
         if key is None:
             raise ValueError("stochastic sample_pdf requires a PRNG key")
-        u = jax.random.uniform(key, u_shape, dtype=jnp.float32)
+        # sorted uniforms via exponential spacings: u_(i) = S_i / S_{n+1},
+        # S_i = sum of i iid Exp(1) gaps — identical joint law to sorted iid
+        # uniforms, with no sort network.
+        gaps = -jnp.log(jax.random.uniform(
+            key, cdf.shape[:-1] + (n_samples + 1,), dtype=jnp.float32,
+            minval=jnp.finfo(jnp.float32).tiny, maxval=1.0))
+        s = jnp.cumsum(gaps, axis=-1)
+        u = s[..., :-1] / s[..., -1:]
 
     # TPU note: vmapped searchsorted and take_along_axis lower to scalar
     # loops/gathers. With m ~ O(100) bins, a dense compare-and-reduce
@@ -89,7 +110,10 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
     t = (u - cdf_below) / denom
-    return bins_below + t * (bins_above - bins_below)
+    z = bins_below + t * (bins_above - bins_below)
+    # enforce per-ray monotonicity exactly (the degenerate-bin clamp can
+    # locally reorder by < 1e-5 of a bin width; callers rely on sortedness)
+    return jax.lax.cummax(z, axis=z.ndim - 1)
 
 
 def merge_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -100,8 +124,8 @@ def merge_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     first, so output equals a stable merge.
 
     WARNING: both inputs MUST be row-sorted; the output is silently wrong
-    otherwise. In particular sample_pdf's output is NOT guaranteed sorted
-    (degenerate-bin fallback), so the renderer's z merge uses jnp.sort.
+    otherwise. ``sample_pdf`` output is sorted by construction (sorted-u order
+    statistics + cummax), so the renderer's coarse/fine z merge uses this.
     """
     n1, n2 = a.shape[-1], b.shape[-1]
     n = n1 + n2

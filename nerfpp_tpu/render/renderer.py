@@ -145,12 +145,12 @@ def render_rays(params: dict,
                                  cfg.n_importance, det=(cfg.perturb == 0.0),
                                  key=k_pdf)
         z_samples = jax.lax.stop_gradient(z_samples)
-        # NOTE: z_samples are NOT guaranteed sorted even with det inverse-CDF
-        # (the degenerate-bin denom clamp in sample_pdf can locally reorder),
-        # so a full sort is required here; S.merge_sorted silently corrupts
-        # z ordering in that case (diverges training — verified).
-        z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1),
-                          axis=-1)
+        # sample_pdf output is sorted by construction (order-statistic u +
+        # cummax) and sample_z_vals is monotone under f32 rounding, so the
+        # cheap VPU rank merge replaces the full jnp.sort the reference pays
+        # (NeRFRenderer.h:431). Sortedness of both inputs is tested in
+        # test_core_math.py (incl. the grazing-ray ulp case).
+        z_vals = S.merge_sorted(z_vals, z_samples)
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
 
         if cfg.use_sp_noise and bounding_box is not None:

@@ -116,6 +116,60 @@ def test_sample_pdf_stochastic_statistics():
     assert abs(m - 0.5) < 0.02  # uniform pdf -> mean 0.5
 
 
+def test_sample_pdf_sorted_by_construction():
+    # stress: degenerate (zero-weight) bins, stochastic and det u, many keys —
+    # the output must be exactly non-decreasing per ray so the renderer's
+    # rank merge (merge_sorted) is valid without a post-sort.
+    rng = np.random.RandomState(3)
+    bins = np.sort(rng.rand(64, 33), axis=-1).astype(np.float32)
+    weights = rng.rand(64, 32).astype(np.float32)
+    weights[weights < 0.7] = 0.0  # many empty bins -> flat cdf regions
+    for det in (True, False):
+        for seed in range(5):
+            z = S.sample_pdf(jnp.asarray(bins), jnp.asarray(weights), 48,
+                             det=det, key=jax.random.PRNGKey(seed))
+            z = np.asarray(z)
+            assert (np.diff(z, axis=-1) >= 0).all(), (det, seed)
+    # sorted-u stochastic samples keep the right marginal distribution:
+    # uniform weights -> samples uniform on [bins0, bins-1]
+    u_bins = jnp.linspace(0.0, 1.0, 9)[None]
+    zs = S.sample_pdf(jnp.broadcast_to(u_bins, (256, 9)),
+                      jnp.ones((256, 8)), 64, det=False,
+                      key=jax.random.PRNGKey(9))
+    flat = np.sort(np.asarray(zs).ravel())
+    ks = np.max(np.abs(flat - np.linspace(0, 1, flat.size)))
+    assert ks < 0.02
+
+
+def test_sample_z_vals_monotone_for_grazing_rays():
+    # rays that barely graze the AABB give far - near at the f32 ulp scale;
+    # the naive lerp near*(1-t)+far*t is NOT monotone under rounding there
+    # (found as a live training divergence once jnp.sort was removed).
+    near = jnp.float32(3.4783795)
+    far = near + jnp.float32(8e-7)
+    z = S.sample_z_vals(jnp.full((4, 1), near), jnp.full((4, 1), far), 16)
+    assert bool(jnp.all(jnp.diff(z, axis=-1) >= 0))
+    zd = S.sample_z_vals(jnp.full((4, 1), near), jnp.full((4, 1), far), 16,
+                         lin_disp=True)
+    assert bool(jnp.all(jnp.diff(zd, axis=-1) >= 0))
+
+
+def test_merge_sorted_equals_sort_on_renderer_inputs():
+    # exactly the renderer's merge: stratified coarse z + sample_pdf fine z
+    key = jax.random.PRNGKey(4)
+    near = jnp.full((32, 1), 2.0)
+    far = jnp.full((32, 1), 6.0)
+    z = S.sample_z_vals(near, far, 16, perturb=1.0, key=key)
+    mids = 0.5 * (z[..., 1:] + z[..., :-1])
+    w = jax.random.uniform(jax.random.PRNGKey(5), (32, 15)) ** 4
+    zf = S.sample_pdf(mids, w[..., 1:-1], 24, det=False,
+                      key=jax.random.PRNGKey(6))
+    merged = S.merge_sorted(z, zf)
+    expect = jnp.sort(jnp.concatenate([z, zf], axis=-1), axis=-1)
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(expect),
+                               rtol=0, atol=0)
+
+
 def test_sample_pdf_matches_numpy_oracle():
     rng = np.random.RandomState(0)
     bins = np.sort(rng.rand(3, 9), axis=-1).astype(np.float32)
