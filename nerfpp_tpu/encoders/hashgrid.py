@@ -40,6 +40,28 @@ FIXED_PRIMES = (1, 2654435761, 805459861, 3674653429, 2097192037, 1434869437, 21
 _CORNER_OFFSETS = np.array(
     [[(d >> 2) & 1, (d >> 1) & 1, d & 1] for d in range(8)], np.int64)
 
+# Blocked scheme: 4^3-cell blocks with a one-vertex halo = 5^3 = 125 vertices,
+# one 128-lane table row per block. Within-block vertex lane for local vertex
+# (vx, vy, vz) is vx*25 + vy*5 + vz; corner (dx, dy, dz) adds dx*25 + dy*5 + dz.
+BLOCK_CELLS = 4
+BLOCK_VERTS = 5
+BLOCK_LANES = 128
+_BLOCKED_CORNER_LANE_OFFSETS = np.array(
+    [dx * 25 + dy * 5 + dz for (dx, dy, dz) in _CORNER_OFFSETS], np.int32)
+
+
+def morton3(x, y, z):
+    """Interleave the low 10 bits of three non-negative ints (jnp or np):
+    bit 3i of the result is bit i of x, 3i+1 of y, 3i+2 of z."""
+    def spread(v):
+        v = v & 0x3FF
+        v = (v | (v << 16)) & 0x30000FF
+        v = (v | (v << 8)) & 0x300F00F
+        v = (v | (v << 4)) & 0x30C30C3
+        v = (v | (v << 2)) & 0x9249249
+        return v
+    return spread(x) | (spread(y) << 1) | (spread(z) << 2)
+
 
 def _is_prime(n: int) -> bool:
     if n < 2:
@@ -81,7 +103,7 @@ class HashGridEncoder:
                  scheme: str = "fixed", primes_seed: int = 0,
                  table_dtype=jnp.float32, use_pallas: bool = False,
                  pallas_packed: bool = True):
-        if scheme not in ("fixed", "random"):
+        if scheme not in ("fixed", "random", "blocked"):
             raise ValueError(f"unknown hash scheme {scheme!r}")
         self.bounding_box = np.asarray(bounding_box, np.float32).reshape(6)
         self.n_levels = n_levels
@@ -104,7 +126,7 @@ class HashGridEncoder:
             self.level_size = 1 << log2_hashmap_size
             self.primes = None
             self.level_scales = None
-        else:
+        elif scheme == "random":
             # Exp-spaced scale, hit exactly at both ends (CuHashEmbedder.cu:40).
             l = np.arange(n_levels, dtype=np.float64)
             log2b, log2f = np.log2(base_resolution), np.log2(finest_resolution)
@@ -112,6 +134,41 @@ class HashGridEncoder:
                 (log2f - log2b) * l / max(n_levels - 1, 1) + log2b).astype(np.float32)
             self.level_size = ((1 << log2_hashmap_size) >> 4) << 4
             self.primes = draw_random_primes(primes_seed, n_levels)
+            self.resolutions = None
+        else:
+            # "blocked": the TPU-native large-table scheme. Same exp-spaced
+            # level scales as the CUDA variant, but capacity is organized as
+            # 4^3-cell blocks with a one-vertex halo: 5^3 = 125 vertices live
+            # in one 128-lane table row, so all 8 trilerp corners of any cell
+            # are served by ONE row. Block rows are addressed by the Morton
+            # code of per-level-offset block coordinates, modulo the slot
+            # count:  slot = morton3(block + offset_l) & (S - 1).
+            # Morton order makes an aligned 2x2x2-block cube exactly one
+            # aligned 8-row table window — the unit the windowed Pallas
+            # kernel enumerates (nerfpp_tpu/pallas/hash_encode_blocked.py).
+            # The random per-level block offsets decorrelate the wrap-around
+            # collision pattern across levels (the counterpart of the
+            # reference's per-level random primes, CuHashEmbedder.cpp:37-52).
+            # When a level's block grid fits (morton < S) the map is
+            # injective — collision-free, unlike the reference's hash which
+            # collides even under capacity. Parameter count is exactly
+            # n_levels * 2^T * F — capacity parity with the reference's
+            # T=2^19 config (main.cpp:189).
+            if log2_hashmap_size < 7:
+                raise ValueError("blocked scheme requires log2_hashmap_size >= 7")
+            l = np.arange(n_levels, dtype=np.float64)
+            log2b, log2f = np.log2(base_resolution), np.log2(finest_resolution)
+            self.level_scales = np.exp2(
+                (log2f - log2b) * l / max(n_levels - 1, 1) + log2b).astype(np.float32)
+            if float(self.level_scales[-1]) / BLOCK_CELLS + 2 > 1024:
+                raise ValueError("blocked scheme supports finest_resolution "
+                                 "up to 4x Morton range (~4096)")
+            self.level_size = 1 << log2_hashmap_size
+            self.block_slots = self.level_size // BLOCK_LANES      # S, pow2
+            rng = np.random.RandomState(primes_seed + 7)
+            self.block_offsets = rng.randint(
+                0, 1 << 10, size=(n_levels, 3)).astype(np.int32)
+            self.primes = None
             self.resolutions = None
 
         self.table_rows = self.n_levels * self.level_size
@@ -165,9 +222,49 @@ class HashGridEncoder:
                         * self.level_size)[None, :, None]
         return idx + level_offset, frac
 
+    def blocked_cell_frac(self, x: jnp.ndarray):
+        """x: [N, 3] (clamped) -> (cell [N, L, 3] int32, frac [N, L, 3] f32)."""
+        box_min = jnp.asarray(self.bounding_box[:3])
+        box_max = jnp.asarray(self.bounding_box[3:])
+        scales = jnp.asarray(self.level_scales)                    # [L]
+        rel = (x[:, None, :] - box_min) / (box_max - box_min) * scales[:, None]
+        cell = jnp.floor(rel)
+        frac = rel - cell
+        return cell.astype(jnp.int32), frac
+
+    def blocked_oct(self, cell: jnp.ndarray) -> jnp.ndarray:
+        """cell: [..., L, 3] int32 -> offset block coords [..., L, 3]
+        ("oct space": >>1 gives the aligned 2x2x2-block window cube)."""
+        offs = jnp.asarray(self.block_offsets)                     # [L, 3]
+        return (cell >> 2) + offs
+
+    def blocked_slot(self, cell: jnp.ndarray) -> jnp.ndarray:
+        """cell: [..., L, 3] int32 -> block-row slot id [..., L] int32 in
+        [0, block_slots). slot = morton3(block + offset) & (S - 1)."""
+        ob = self.blocked_oct(cell)
+        m = morton3(ob[..., 0], ob[..., 1], ob[..., 2])
+        return m & (self.block_slots - 1)
+
+    def _corner_indices_blocked(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Blocked-scheme corner indices into the flat [L * 2^T] entry space:
+        idx = level*T + slot*128 + base_lane + corner_lane_offset. All 8
+        corners of a cell share one block row (the halo guarantee)."""
+        cell, frac = self.blocked_cell_frac(x)                     # [N, L, 3]
+        slot = self.blocked_slot(cell)                             # [N, L]
+        local = cell % BLOCK_CELLS
+        base_lane = (local[..., 0] * 25 + local[..., 1] * 5 + local[..., 2])
+        lane = base_lane[..., None] + jnp.asarray(
+            _BLOCKED_CORNER_LANE_OFFSETS)                          # [N, L, 8]
+        level_offset = (jnp.arange(self.n_levels, dtype=jnp.int32)
+                        * self.level_size)[None, :, None]
+        idx = slot[..., None] * BLOCK_LANES + lane + level_offset
+        return idx, frac
+
     def corner_indices(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         if self.scheme == "fixed":
             return self._corner_indices_fixed(x)
+        if self.scheme == "blocked":
+            return self._corner_indices_blocked(x)
         return self._corner_indices_random(x)
 
     # -- forward -----------------------------------------------------------
