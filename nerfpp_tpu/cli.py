@@ -63,11 +63,16 @@ def _load_scene(args):
 
 def _build_params(args):
     from nerfpp_tpu.config import (ExecutorParams, TrainParams,
-                                   classic_nerf_preset, hashnerf_preset)
+                                   classic_nerf_preset, hashnerf_preset,
+                                   hashnerf_blocked_preset, hashnerf_tpu_preset)
     if args.executor_params:
         p = ExecutorParams.load(args.executor_params)
     elif args.preset == "hashnerf":
         p = hashnerf_preset()
+    elif args.preset == "hashnerf_blocked":
+        p = hashnerf_blocked_preset()
+    elif args.preset == "hashnerf_tpu":
+        p = hashnerf_tpu_preset()
     elif args.preset == "classic":
         p = classic_nerf_preset()
     else:
@@ -178,7 +183,8 @@ def build_parser() -> argparse.ArgumentParser:
         s.add_argument("--test-skip", action="store_true")
         s.add_argument("--white-bkgr", action="store_true")
         s.add_argument("--preset", default="hashnerf",
-                       choices=["hashnerf", "classic", "none"])
+                       choices=["hashnerf", "hashnerf_blocked", "hashnerf_tpu",
+                                "classic", "none"])
         s.add_argument("--executor-params", default="")
         s.add_argument("--train-params", default="")
         s.add_argument("--base-dir", default="output")

@@ -169,6 +169,10 @@ class TrainParams:
     return_raw: bool = False
     render_factor: float = 0.0
     precorp_frac: float = 0.5
+    # tile-coherent ray sampling (new; no reference analog): 0 = auto
+    # (8x16 tiles when the blocked hash kernel is active), -1 = force off
+    tile_h: int = 0
+    tile_w: int = 0
 
     KEYMAP = {
         "pyramid_clip_embedding_save_dir": "PyramidClipEmbeddingSaveDir",
@@ -180,6 +184,7 @@ class TrainParams:
         "i_weights": "IWeights", "i_testset": "ITestset",
         "return_raw": "ReturnRaw", "render_factor": "RenderFactor",
         "precorp_frac": "PrecorpFrac",
+        "tile_h": "TileH", "tile_w": "TileW",
     }
 
 
@@ -208,6 +213,19 @@ def hashnerf_tpu_preset(**overrides) -> ExecutorParams:
     encode kernel (39x the XLA gather path measured; PERFORMANCE.md). Same
     architecture otherwise — the configuration our TPU benchmarks lead with."""
     p = hashnerf_preset(log2_hashmap_size=13, use_pallas_encoder=True)
+    for k, v in overrides.items():
+        setattr(p, k, v)
+    return p
+
+
+def hashnerf_blocked_preset(**overrides) -> ExecutorParams:
+    """Reference-capacity HashNeRF on the TPU fast path: T=2^19 tables in the
+    blocked halo layout (encoders/hashgrid.py scheme="blocked") with the
+    windowed Pallas encode/scatter kernel pair (pallas/hash_encode_blocked.py).
+    Parameter count matches the reference's shipped config exactly
+    (main.cpp:189); pairs with tile-coherent sampling (TrainParams.tile_h/w
+    auto) and sample-major point ordering for kernel throughput."""
+    p = hashnerf_preset(hash_scheme="blocked", use_pallas_encoder=True)
     for k, v in overrides.items():
         setattr(p, k, v)
     return p

@@ -167,12 +167,19 @@ class RayBatchSampler:
     batch_size: int = dataclasses.field(metadata=dict(static=True))
     precrop_iters: int = dataclasses.field(default=0, metadata=dict(static=True))
     precrop_frac: float = dataclasses.field(default=0.5, metadata=dict(static=True))
+    # tile-coherent sampling: draw batch_size/(th*tw) random (th x tw) pixel
+    # tiles instead of independent pixels. Rays of one tile are contiguous in
+    # the batch, so 128-point encode groups stay spatially coherent — the
+    # layout the blocked hash kernel's window lists are small for. 0 = off.
+    tile_h: int = dataclasses.field(default=0, metadata=dict(static=True))
+    tile_w: int = dataclasses.field(default=0, metadata=dict(static=True))
     lang_embeddings: Optional[jnp.ndarray] = None  # [n_train, H, W, E] (LeRF)
 
     @classmethod
     def from_scene(cls, scene: SceneData, batch_size: int,
                    precrop_iters: int = 0, precrop_frac: float = 0.5,
-                   lang_embeddings=None) -> "RayBatchSampler":
+                   lang_embeddings=None, tile_h: int = 0, tile_w: int = 0
+                   ) -> "RayBatchSampler":
         idx = list(scene.split_indices("train"))
         images = load_images(scene, idx)
         poses = np.stack([scene.views[i].pose for i in idx])
@@ -181,7 +188,7 @@ class RayBatchSampler:
         return cls(images=jnp.asarray(images), poses=jnp.asarray(poses),
                    intrinsics=jnp.asarray(ks), h=v0.h, w=v0.w,
                    batch_size=batch_size, precrop_iters=precrop_iters,
-                   precrop_frac=precrop_frac,
+                   precrop_frac=precrop_frac, tile_h=tile_h, tile_w=tile_w,
                    lang_embeddings=(jnp.asarray(lang_embeddings)
                                     if lang_embeddings is not None else None))
 
@@ -207,10 +214,29 @@ class RayBatchSampler:
         img_idx = step % self.images.shape[0]
         kh, kw = jax.random.split(key)
         h0, h1, w0, w1 = self.bounds(step)
-        rand_h = h0 + (jax.random.uniform(kh, (self.batch_size,))
-                       * (h1 - h0)).astype(jnp.int32)
-        rand_w = w0 + (jax.random.uniform(kw, (self.batch_size,))
-                       * (w1 - w0)).astype(jnp.int32)
+        if self.tile_h > 0 and self.tile_w > 0:
+            # tile origins uniform over positions where the tile fits the
+            # sampling rectangle; pixels enumerate row-major within a tile
+            th, tw = self.tile_h, self.tile_w
+            n_tiles = self.batch_size // (th * tw)
+            if n_tiles * th * tw != self.batch_size:
+                raise ValueError(f"batch_size {self.batch_size} must divide "
+                                 f"by tile {th}x{tw}")
+            oy = h0 + (jax.random.uniform(kh, (n_tiles,))
+                       * (h1 - h0 - th + 1)).astype(jnp.int32)
+            ox = w0 + (jax.random.uniform(kw, (n_tiles,))
+                       * (w1 - w0 - tw + 1)).astype(jnp.int32)
+            dy = jnp.arange(th, dtype=jnp.int32)
+            dx = jnp.arange(tw, dtype=jnp.int32)
+            rand_h = (oy[:, None, None] + dy[None, :, None]
+                      + 0 * dx[None, None, :]).reshape(-1)
+            rand_w = (ox[:, None, None] + 0 * dy[None, :, None]
+                      + dx[None, None, :]).reshape(-1)
+        else:
+            rand_h = h0 + (jax.random.uniform(kh, (self.batch_size,))
+                           * (h1 - h0)).astype(jnp.int32)
+            rand_w = w0 + (jax.random.uniform(kw, (self.batch_size,))
+                           * (w1 - w0)).astype(jnp.int32)
 
         target = self.images[img_idx][rand_h, rand_w]
         pose = self.poses[img_idx]

@@ -97,7 +97,20 @@ def make_synthetic_scene(n_train: int = 24, n_val: int = 2, n_test: int = 4,
     @jax.jit
     def render_view(c2w):
         rays_o, rays_d, _ = ray_math.get_rays(h, w, jnp.asarray(k), c2w)
-        return render_gt_rays(rays_o, rays_d, near, far, n_samples, white_bkgr)
+        # chunk pixels: the GT field broadcast is [pix, samples, prims, 3] —
+        # unchunked this is ~10 GB at 800px and OOMs the chip
+        flat_o = rays_o.reshape(-1, 3)
+        flat_d = rays_d.reshape(-1, 3)
+        chunk = 16384
+        n = flat_o.shape[0]
+        pad = -n % chunk
+        flat_o = jnp.pad(flat_o, ((0, pad), (0, 0)))
+        flat_d = jnp.pad(flat_d, ((0, pad), (0, 0)))
+        out = jax.lax.map(
+            lambda args: render_gt_rays(args[0], args[1], near, far,
+                                        n_samples, white_bkgr),
+            (flat_o.reshape(-1, chunk, 3), flat_d.reshape(-1, chunk, 3)))
+        return out.reshape(-1, 3)[:n].reshape(h, w, 3)
 
     for i in range(n_total):
         pose = ray_math.pose_spherical(float(thetas[i]), float(phis[i]), radius)

@@ -289,10 +289,15 @@ class HashGridEncoder:
         return feats.reshape(x.shape[0], self.output_dims), keep_mask
 
     def _build_pallas_fn(self):
-        """Fused-kernel encode with a custom VJP (backward via the XLA path).
+        """Fused-kernel encode with a custom VJP.
 
-        See nerfpp_tpu/pallas/hash_encode.py for the kernel design; only
-        VMEM-resident table sizes are supported (T <= 2^13 per level)."""
+        scheme="blocked": the windowed large-table kernel pair
+        (pallas/hash_encode_blocked.py) — fwd gather and bwd MXU scatter both
+        fused, arbitrary T (tables stay in HBM, staged per level).
+        Other schemes: the VMEM-resident kernel (pallas/hash_encode.py,
+        T <= 2^13 per level) with the MXU factorized-one-hot backward."""
+        if self.scheme == "blocked":
+            return self._build_pallas_blocked_fn()
         from nerfpp_tpu.pallas import hash_encode as HE
         if not HE.supports(self.n_levels, self.level_size,
                            self.n_features_per_level):
@@ -355,6 +360,35 @@ class HashGridEncoder:
                     grads.append(scatter_add(idx_l, vals, enc.level_size))
                 gt = jnp.concatenate(grads, axis=0)
             return gt.astype(table.dtype), None  # no position gradient
+
+        encode.defvjp(encode_fwd, encode_bwd)
+        return encode
+
+    def _build_pallas_blocked_fn(self):
+        """Blocked-scheme kernel pair: windowed fused forward + windowed MXU
+        rank-1 scatter backward (pallas/hash_encode_blocked.py). The TPU
+        equivalent of the reference's fused CUDA fwd/bwd at production table
+        sizes (CuHashEmbedder.cu:9-201, T=2^19 at main.cpp:189)."""
+        from nerfpp_tpu.pallas import hash_encode_blocked as HEB
+        if self.n_features_per_level != 2:
+            raise ValueError("blocked kernel requires F=2")
+        enc = self
+
+        @jax.custom_vjp
+        def encode(table, x):
+            return HEB.hash_encode_blocked(table, x, enc)
+
+        def encode_fwd(table, x):
+            # ONE window-list prepass per step: the (pts_b, wids, maxcnt)
+            # residuals feed both the forward and the backward kernel
+            prep = HEB._prepare(x, enc)
+            feats = HEB.encode_prepared(table, prep, x.shape[0], enc)
+            return feats, (prep, x.shape[0])
+
+        def encode_bwd(res, g):
+            prep, n = res
+            gt = HEB.grad_prepared(g, prep, n, enc)
+            return gt.astype(enc.table_dtype), None  # no position gradient
 
         encode.defvjp(encode_fwd, encode_bwd)
         return encode

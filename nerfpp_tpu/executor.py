@@ -176,6 +176,13 @@ class NeRFExecutor:
 
     # ------------------------------------------------------------- closures
 
+    def _sample_major(self) -> bool:
+        """Sample-major point flattening pairs with tile-coherent batches to
+        keep the blocked kernel's window lists short (renderer.py docstring)."""
+        return (isinstance(self.embedder, HashGridEncoder)
+                and self.embedder.scheme == "blocked"
+                and self.embedder.use_pallas)
+
     def _nerf_fns(self):
         embedder, embeddirs, model = self.embedder, self.embeddirs, self.model
 
@@ -192,7 +199,8 @@ class NeRFExecutor:
         def field_fn(params, x):
             return model(params["model"], x)
 
-        return make_nerf_network_fn(embed_fn, embed_dirs_fn, field_fn)
+        return make_nerf_network_fn(embed_fn, embed_dirs_fn, field_fn,
+                                    sample_major=self._sample_major())
 
     def _lerf_fns(self, with_relevancy: bool = False,
                   use_raw_noise: bool = False):
@@ -225,7 +233,8 @@ class NeRFExecutor:
             use_viewdirs=self.use_viewdirs, thin_ray=self.params.thin_ray,
             return_weights=return_weights,
             use_raw_noise=train, use_sp_noise=train and self.sp_alpha0 > 0,
-            density_activation=self.params.density_activation)
+            density_activation=self.params.density_activation,
+            tile_order=self._sample_major())
 
     # ---------------------------------------------------------- train step
 
@@ -382,9 +391,16 @@ class NeRFExecutor:
             return {}
 
         if sampler is None:
+            # tile defaults: 0 = auto (8x16 tiles when the blocked kernel is
+            # active — its throughput depends on coherent groups), -1 = off
+            th, tw = tp.tile_h, tp.tile_w
+            if th == 0 and tw == 0 and self._sample_major() \
+                    and tp.n_rand % 128 == 0:
+                th, tw = 8, 16
+            th, tw = max(th, 0), max(tw, 0)
             sampler = RayBatchSampler.from_scene(
                 scene, tp.n_rand, tp.precorp_iters, tp.precorp_frac,
-                lang_embeddings=lang_embeddings)
+                lang_embeddings=lang_embeddings, tile_h=th, tile_w=tw)
         train_step = self._build_train_step(tp, mesh)
         key = jax.random.PRNGKey(seed + 1)
 

@@ -1,4 +1,4 @@
-"""Large-table fused hash-grid encode for TPU: the "blocked" scheme kernel.
+"""Large-table fused hash-grid encode for TPU: the "blocked" scheme kernels.
 
 TPU-native equivalent of the reference's fused CUDA encoder at production
 table sizes (CuHashEmbedder.cu:9-102 with T=2^19, main.cpp:189). The v2
@@ -10,12 +10,16 @@ kernel makes large T cheap with three structural moves:
    4^3-cell blocks with a one-vertex halo put all 8 trilerp corners of any
    cell in ONE 128-lane table row, and Morton-ordered slots with a per-level
    region phase keep spatially-adjacent blocks in adjacent rows.
-2. **Windowed gather**: spatially coherent point groups (ray tiles, raster
-   render order) touch a small contiguous row range per level. An XLA
-   prepass computes each group's aligned row window [base, base + 8*cnt);
-   the kernel fori-loops over the cnt 8-row windows and resolves 128
-   replicated queries per corner with the two-stage VREG gather
-   (lane-gather then sublane-gather) — O(spread), not O(T).
+2. **Exact window lists**: a window is the aligned 8-row table range of one
+   2x2x2-block octant. An XLA prepass sorts each 128-point group's per-level
+   window morton codes and compacts them to the unique set (a 128-lane
+   bitonic sort — vectorized, cheap). The kernel fori-loops over that list
+   and resolves all 128 queries per window with the two-stage VREG gather.
+   Work is O(#occupied windows) — at most 128 per (group, level) by
+   construction, ~1-4 for coherent groups — never O(bounding-box volume),
+   so pathologically incoherent inputs degrade gracefully instead of
+   blowing up (a ray-major flattened batch of random pixels is ~50x slower
+   than a coherent one, not 10^4x).
 3. **Level-staged pipeline**: the grid is (level, group-block); the level's
    [S, 128] packed table slab is one BlockSpec input that Pallas stages
    HBM->VMEM once per level (revisited across group-blocks), so arbitrary-T
@@ -25,12 +29,13 @@ Features are bf16-packed pairs in one uint32 lane (f0 high, f1 low), like
 the CUDA reference's fp16 storage (CuHashEmbedder.cu:4-6); the master
 parameter stays f32.
 
-The backward kernel shares the window structure and scatters gradients into
-a per-level VMEM slab accumulated across group-blocks, using the rank-1
-trilerp factorization: the 8 corner contributions of a point are
-(wx outer wy outer wz) placed at its base lane, so the scatter is one
-row-one-hot matmul on the MXU plus 8 static lane shifts, not 8 atomic adds
-(cf. CuHashEmbedder.cu:106-201's atomicAdd backward).
+The backward kernel shares the window-list structure and scatters gradients
+into a per-level VMEM slab accumulated across group-blocks, using the
+rank-1 trilerp factorization: a point's 8 corner contributions within its
+single block row are the tensor (wx outer wy outer wz) placed at lane
+u*25 + v*5 + w, so each window's scatter is ONE [8, 128q] x [128q, 128lane]
+MXU matmul per feature — no atomics (cf. CuHashEmbedder.cu:106-201's
+atomicAdd backward), no transposes.
 """
 from __future__ import annotations
 
@@ -46,7 +51,9 @@ from nerfpp_tpu.encoders import hashgrid as HG
 
 LANES = 128
 GROUPS_PER_BLOCK = 8          # groups (128 pts each) per grid step
-MAX_SMEM_BASES_BYTES = 128 * 1024   # per-level window table; probed safe
+MAX_SMEM_COUNTS_BYTES = 128 * 1024   # per-level window-count table; probed safe
+# sentinel for padded window-list slots: larger than any morton3 value (2^30-1)
+_SENTINEL = np.int32(0x7FFFFFFF)
 
 
 def _next_mult(x: int, m: int) -> int:
@@ -54,33 +61,124 @@ def _next_mult(x: int, m: int) -> int:
 
 
 def max_points_per_call() -> int:
-    """Group count per level is SMEM-bound (one int32 per group)."""
-    return (MAX_SMEM_BASES_BYTES // 4) * 128
+    """Group-block count per level is SMEM-bound (one int32 per block)."""
+    return (MAX_SMEM_COUNTS_BYTES // 4) * GROUPS_PER_BLOCK * 128
 
 
-def build_boxes(pts: jnp.ndarray, enc):
-    """XLA prepass: per (level, 128-point group) occupied-window bounding box.
+def build_window_lists(pts: jnp.ndarray, enc):
+    """XLA prepass: per (level, 128-point group) sorted unique window ids.
 
-    pts: [NG, 128, 3] padded points (clamped to the bbox). The windows of a
-    group at level l are the aligned 2x2x2-block cubes ("octants") its blocks
-    occupy; their coordinates in oct space span an axis-aligned box that the
-    kernel enumerates exactly — immune to Morton-range blowups at curve
-    seams. Returns two [L * NG_pad] int32 arrays:
-      mins: ox0 | oy0 << 10 | oz0 << 20
-      cnts: ex  | ey  << 10 | ez  << 20   (box side lengths, >= 1)
+    pts: [NG, 128, 3] padded points (clamped to the bbox). A group's windows
+    at level l are the aligned 2x2x2-block octants its points' blocks occupy,
+    identified by their morton code. Returns:
+      wids:   [L * NG * 128] int32 — per (level, group) the sorted unique
+              window mortons, tail-padded with _SENTINEL (never a valid id).
+      maxcnt: [L * NGB_pad] int32 — per (level, group-block) the max unique
+              count over the block's 8 groups (the kernel's loop bound).
     """
     ng = pts.shape[0]
+    n_gb = ng // GROUPS_PER_BLOCK
+    l = enc.n_levels
     cell, _ = enc.blocked_cell_frac(pts.reshape(-1, 3))     # [N, L, 3]
-    oct_ = enc.blocked_oct(cell).reshape(ng, 128, enc.n_levels, 3) >> 1
-    lo = jnp.min(oct_, axis=1)                              # [NG, L, 3]
-    hi = jnp.max(oct_, axis=1)
-    ext = hi - lo + 1
-    def pack(v):
-        p = (v[..., 0] | (v[..., 1] << 10) | (v[..., 2] << 20)).T  # [L, NG]
-        ng_pad = _next_mult(ng, 1024)  # SMEM int32 arrays tile at 1024
-        return jnp.pad(p, ((0, 0), (0, ng_pad - ng))).reshape(-1).astype(
-            jnp.int32)
-    return pack(lo), pack(ext)
+    oct_ = enc.blocked_oct(cell) >> 1                       # [N, L, 3]
+    m = HG.morton3(oct_[..., 0], oct_[..., 1], oct_[..., 2])
+    m = m.reshape(ng, 128, l).transpose(2, 0, 1)            # [L, NG, 128]
+    s = jnp.sort(m, axis=-1)
+    flags = jnp.concatenate(
+        [jnp.ones(s.shape[:-1] + (1,), bool), s[..., 1:] != s[..., :-1]], -1)
+    cnt = jnp.sum(flags, axis=-1).astype(jnp.int32)         # [L, NG]
+    ids = jnp.where(flags, s, _SENTINEL)
+    ids = jnp.sort(ids, axis=-1)                            # unique ids first
+    cntb = cnt.reshape(l, n_gb, GROUPS_PER_BLOCK).max(-1)   # [L, n_gb]
+    ngb_pad = _next_mult(n_gb, 1024)  # SMEM int32 arrays tile at 1024
+    maxcnt = jnp.pad(cntb, ((0, 0), (0, ngb_pad - n_gb))).reshape(-1)
+    return ids.reshape(-1).astype(jnp.int32), maxcnt
+
+
+def _lane_roll(v, shift):
+    """Cyclic lane rotation: out[l] = v[(l - shift) % 128] (concat of lane
+    slices — Mosaic lowers this to native in-VREG shifts)."""
+    s = shift % 128
+    if s == 0:
+        return v
+    return jnp.concatenate([v[:, -s:], v[:, :-s]], axis=1)
+
+
+def _bitonic_sort_lanes(v, lane):
+    """Ascending bitonic sort of the 128 lanes of ``v`` ([8, 128] int32),
+    each sublane sorted independently (8 groups packed per VREG). 28
+    compare-exchange stages of roll + select + min/max — ~6x faster than
+    XLA's variadic sort at this shape."""
+    for k in [2, 4, 8, 16, 32, 64, 128]:
+        asc = (lane & k) == 0
+        d = k // 2
+        while d >= 1:
+            lower = (lane & d) == 0
+            p = jnp.where(lower, _lane_roll(v, -d), _lane_roll(v, d))
+            take_min = lower == asc
+            v = jnp.where(take_min, jnp.minimum(v, p), jnp.maximum(v, p))
+            d //= 2
+    return v
+
+
+def _make_windows_kernel(n_levels: int, groups: int, box_min, box_max):
+    """Fused window-list prepass: per (group-block) compute every level's
+    per-group morton codes, bitonic-sort them in-register, first-occurrence
+    dedup (roll-by-1 compare), sentinel-replace + re-sort to compact the
+    unique ids to the front, and emit per-group unique counts. The 8 groups
+    of the block ride the 8 sublanes of one VREG, so each sort processes
+    all of them at once."""
+    inv = [1.0 / (box_max[a] - box_min[a]) for a in range(3)]
+
+    def kernel(scales_ref, boffs_ref, pts_ref, wids_ref, cnt_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (groups, LANES), 1)
+        for l in range(n_levels):
+            scale = scales_ref[l]
+            m = jnp.zeros((groups, LANES), jnp.int32)
+            for a in range(3):
+                x = pts_ref[0, a]                       # [G, 128]
+                c = ((x - box_min[a]) * (inv[a] * scale)).astype(jnp.int32)
+                ob = (c >> 2) + boffs_ref[3 * l + a]
+                m = m | (_spread_bits(ob >> 1) << a)
+            s = _bitonic_sort_lanes(m, lane)
+            first = (s != _lane_roll(s, 1)) | (lane == 0)
+            cnt = jnp.sum(first.astype(jnp.int32), axis=1, keepdims=True)
+            ids = jnp.where(first, s, _SENTINEL)
+            wids_ref[0, l] = _bitonic_sort_lanes(ids, lane)
+            cnt_ref[0, l] = jnp.broadcast_to(cnt, (groups, LANES))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_levels", "box_min", "box_max"))
+def _windows_call(pts_b, scales, boffs, *, n_levels, box_min, box_max):
+    n_gb = pts_b.shape[0]
+    g = GROUPS_PER_BLOCK
+    kernel = _make_windows_kernel(n_levels, g, box_min, box_max)
+    interpret = jax.devices()[0].platform != "tpu"
+    wids, cnts = pl.pallas_call(
+        kernel,
+        grid=(n_gb,),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((n_levels,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((3 * n_levels,), lambda i: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, g, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_levels, g, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_levels, g, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_gb, n_levels, g, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_gb, n_levels, g, LANES), jnp.int32),
+        ],
+    )(scales, boffs, pts_b)
+    return wids, cnts
 
 
 def _tree_sum(vals):
@@ -101,31 +199,41 @@ def _spread_bits(v):
     return v
 
 
+def _group_geometry(pts_ref, boffs_ref, scale, l, gi, box_min, inv):
+    """Shared fwd/bwd per-group geometry: cell, frac, window morton, row
+    parity. All [8, 128] VREGs (128 points replicated over sublanes)."""
+    cell, frac, ob = [], [], []
+    for a in range(3):
+        x = jnp.broadcast_to(pts_ref[0, a, gi:gi + 1, :], (8, LANES))
+        s = (x - box_min[a]) * (inv[a] * scale)
+        c = s.astype(jnp.int32)          # floor: s >= 0 after clamp
+        cell.append(c)
+        frac.append(s - c.astype(jnp.float32))
+        ob.append((c >> 2) + boffs_ref[3 * l + a])
+    oc = [b >> 1 for b in ob]
+    m_q = (_spread_bits(oc[0]) | (_spread_bits(oc[1]) << 1)
+           | (_spread_bits(oc[2]) << 2))
+    rr = (ob[0] & 1) | ((ob[1] & 1) << 1) | ((ob[2] & 1) << 2)
+    return cell, frac, m_q, rr
+
+
 def _make_fwd_kernel(n_levels: int, s_rows: int, groups: int,
                      box_min, box_max):
     inv = [1.0 / (box_max[a] - box_min[a]) for a in range(3)]
     offs = [int(o) for o in HG._BLOCKED_CORNER_LANE_OFFSETS]
 
-    def kernel(scales_ref, boffs_ref, mins_ref, exts_ref, pts_ref, tab_ref,
+    def kernel(scales_ref, boffs_ref, wids_ref, maxcnt_ref, pts_ref, tab_ref,
                out_ref):
         l = pl.program_id(0)
         gb = pl.program_id(1)
         scale = scales_ref[l]
         # per-group geometry (python lists indexed by group — all VREGs)
-        oc_g, rr_g, lanes_g, w_g, box_g = [], [], [], [], []
-        max_total = 1
+        mq_g, rr_g, lanes_g, w_g = [], [], [], []
         for gi in range(groups):
-            cell, frac, ob = [], [], []
-            for a in range(3):
-                x = jnp.broadcast_to(pts_ref[0, a, gi:gi + 1, :], (8, LANES))
-                s = (x - box_min[a]) * (inv[a] * scale)
-                c = s.astype(jnp.int32)          # floor: s >= 0 after clamp
-                cell.append(c)
-                frac.append(s - c.astype(jnp.float32))
-                ob.append((c >> 2) + boffs_ref[3 * l + a])
-            # the point's window cube coords + its (sublane, lane) in the row
-            oc_g.append([b >> 1 for b in ob])
-            rr_g.append((ob[0] & 1) | ((ob[1] & 1) << 1) | ((ob[2] & 1) << 2))
+            cell, frac, m_q, rr = _group_geometry(
+                pts_ref, boffs_ref, scale, l, gi, box_min, inv)
+            mq_g.append(m_q)
+            rr_g.append(rr)
             base_lane = ((cell[0] & 3) * 25 + (cell[1] & 3) * 5
                          + (cell[2] & 3))
             lanes_g.append([base_lane + o for o in offs])
@@ -136,23 +244,13 @@ def _make_fwd_kernel(n_levels: int, s_rows: int, groups: int,
             wxy = [wx[i] * wy[j] for i in range(2) for j in range(2)]
             w_g.append([wxy[d >> 1] * wz[d & 1] for d in range(8)])
 
-            mins = mins_ref[gb * groups + gi]
-            exts = exts_ref[gb * groups + gi]
-            mx, my, mz = mins & 1023, (mins >> 10) & 1023, mins >> 20
-            ex, ey, ez = exts & 1023, (exts >> 10) & 1023, exts >> 20
-            box_g.append((mx, my, mz, ex, ey, ez))
-            max_total = jnp.maximum(max_total, ex * ey * ez)
-
-        def window(gi, ox, oy, oz):
-            """One window of group gi; windows outside the group's box
-            self-mask (octant-equality hit test fails)."""
-            m = (_spread_bits(ox) | (_spread_bits(oy) << 1)
-                 | (_spread_bits(oz) << 2))
+        def window(gi, m):
+            """One window (scalar morton id m) of group gi; sentinel-padded
+            and foreign ids self-mask (morton-equality hit test fails)."""
             ws = (m << 3) & (s_rows - 1)
             win = tab_ref[pl.ds(ws, 8), :]
-            oc, rr, lanes, w = oc_g[gi], rr_g[gi], lanes_g[gi], w_g[gi]
-            hitf = ((oc[0] == ox) & (oc[1] == oy)
-                    & (oc[2] == oz)).astype(jnp.float32)
+            rr, lanes, w = rr_g[gi], lanes_g[gi], w_g[gi]
+            hitf = (mq_g[gi] == m).astype(jnp.float32)
             p0, p1 = [], []
             for c in range(8):
                 gat = jnp.take_along_axis(win, lanes[c], axis=1)
@@ -163,43 +261,35 @@ def _make_fwd_kernel(n_levels: int, s_rows: int, groups: int,
                 p1.append(w[c] * v1)
             return hitf * _tree_sum(p0), hitf * _tree_sum(p1)
 
-        # Window 0 (the box corner) always exists for every group: unrolled,
+        # Window 0 (first unique id) always exists for every group: unrolled,
         # written straight to the output block. A fori_loop entry costs
         # ~400 ns (pipeline flush) vs ~24 ns per window body, so there is
         # exactly ONE loop per (level, group-block), covering all groups to
-        # the max box size; groups whose box is exhausted waste a masked
-        # gather but no control flow.
+        # the block's max unique count; groups whose list is exhausted read
+        # the sentinel and waste a masked gather but no control flow.
         for gi in range(groups):
-            mx, my, mz = box_g[gi][:3]
-            a0, a1 = window(gi, mx, my, mz)
+            a0, a1 = window(gi, wids_ref[gi * 128])
             out_ref[0, 0, gi:gi + 1, :] = a0[0:1, :]
             out_ref[0, 1, gi:gi + 1, :] = a1[0:1, :]
 
         def body(j, carry):
             for gi in range(groups):
-                mx, my, mz, ex, ey, ez = box_g[gi]
-                oz = j % ez
-                t = j // ez
-                oy = t % ey
-                ox = t // ey
-                # beyond-box j for this group decodes to out-of-box coords
-                # (ox >= ex) -> hitf == 0
-                b0, b1 = window(gi, mx + ox, my + oy, mz + oz)
+                b0, b1 = window(gi, wids_ref[gi * 128 + j])
                 out_ref[0, 0, gi:gi + 1, :] += b0[0:1, :]
                 out_ref[0, 1, gi:gi + 1, :] += b1[0:1, :]
             return carry
 
-        jax.lax.fori_loop(1, max_total, body, 0)
+        jax.lax.fori_loop(1, maxcnt_ref[gb], body, 0)
 
     return kernel
 
 
 @functools.partial(
     jax.jit, static_argnames=("n_levels", "s_rows", "box_min", "box_max"))
-def _fwd_call(tab_packed, pts_b, mins, exts, scales, boffs, *,
+def _fwd_call(tab_packed, pts_b, wids, maxcnt, scales, boffs, *,
               n_levels, s_rows, box_min, box_max):
     ng = pts_b.shape[0] * GROUPS_PER_BLOCK
-    ng_base = mins.shape[0] // n_levels      # 1024-padded group count
+    ngb_pad = maxcnt.shape[0] // n_levels    # 1024-padded group-block count
     n_gb = pts_b.shape[0]
     kernel = _make_fwd_kernel(n_levels, s_rows, GROUPS_PER_BLOCK,
                               box_min, box_max)
@@ -213,9 +303,10 @@ def _fwd_call(tab_packed, pts_b, mins, exts, scales, boffs, *,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((3 * n_levels,), lambda l, g: (0,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((ng_base,), lambda l, g: (l,),
+            pl.BlockSpec((GROUPS_PER_BLOCK * 128,),
+                         lambda l, g, _nl=n_levels: (g * _nl + l,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((ng_base,), lambda l, g: (l,),
+            pl.BlockSpec((ngb_pad,), lambda l, g: (l,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3, GROUPS_PER_BLOCK, LANES),
                          lambda l, g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -226,21 +317,18 @@ def _fwd_call(tab_packed, pts_b, mins, exts, scales, boffs, *,
                                lambda l, g: (l, 0, g, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_levels, 2, ng, LANES), jnp.float32),
-    )(scales, boffs, mins, exts, pts_b, tab_packed)
+    )(scales, boffs, wids, maxcnt, pts_b, tab_packed)
     return out
 
 
-def hash_encode_blocked(table: jnp.ndarray, points: jnp.ndarray, enc
-                        ) -> jnp.ndarray:
-    """Forward encode. table: [L * 2^T, 2] f32 master parameter;
-    points: [N, 3] f32 pre-clamped. Returns [N, 2L] (level-major,
-    feature-minor — same layout as the XLA path)."""
-    from nerfpp_tpu.pallas.hash_encode import pack_table_bf16
+def _prepare(points: jnp.ndarray, enc):
+    """Shared fwd/bwd prepass: pad to whole group-blocks, build window lists.
+
+    Returns (pts_b [n_gb, 3, G, 128], wids, maxcnt, n_pad)."""
     n = points.shape[0]
-    l, s = enc.n_levels, enc.block_slots
     pts_per_block = GROUPS_PER_BLOCK * LANES
     n_pad = _next_mult(max(n, 1), pts_per_block)
-    if n_pad // 128 > MAX_SMEM_BASES_BYTES // 4:
+    if n_pad > max_points_per_call():
         raise ValueError(
             f"{n} points exceeds max_points_per_call()="
             f"{max_points_per_call()}; chunk the encode upstream")
@@ -249,18 +337,198 @@ def hash_encode_blocked(table: jnp.ndarray, points: jnp.ndarray, enc
     pts = jnp.full((n_pad, 3), 0.0, jnp.float32).at[:].set(pad_val)
     pts = pts.at[:n].set(points)
     ng = n_pad // 128
-    pts_g = pts.reshape(ng, 128, 3)
-    mins, exts = build_boxes(pts_g, enc)                   # [L * NG_pad] x2
+    n_gb = ng // GROUPS_PER_BLOCK
     # [NG, 128, 3] -> [n_gb, 3, G, 128]
-    pts_b = (pts_g.reshape(ng // GROUPS_PER_BLOCK, GROUPS_PER_BLOCK, 128, 3)
-             .transpose(0, 3, 1, 2))
+    pts_b = (pts.reshape(n_gb, GROUPS_PER_BLOCK, 128, 3).transpose(0, 3, 1, 2))
+    scales = jnp.asarray(enc.level_scales, jnp.float32)
+    boffs = jnp.asarray(enc.block_offsets, jnp.int32).reshape(-1)
+    wids, cnts = _windows_call(
+        pts_b, scales, boffs, n_levels=enc.n_levels,
+        box_min=tuple(float(v) for v in enc.bounding_box[:3]),
+        box_max=tuple(float(v) for v in enc.bounding_box[3:]))
+    cntb = cnts[:, :, :, 0].max(-1).T                       # [L, n_gb]
+    ngb_pad = _next_mult(n_gb, 1024)  # SMEM int32 arrays tile at 1024
+    maxcnt = jnp.pad(cntb, ((0, 0), (0, ngb_pad - n_gb))).reshape(-1)
+    return pts_b, wids.reshape(-1), maxcnt, n_pad
+
+
+def encode_prepared(table: jnp.ndarray, prep, n: int, enc) -> jnp.ndarray:
+    """Forward encode from a shared _prepare() result (fwd/bwd reuse it as
+    custom_vjp residuals — one window-list build per training step)."""
+    from nerfpp_tpu.pallas.hash_encode import pack_table_bf16
+    pts_b, wids, maxcnt, n_pad = prep
+    l, s = enc.n_levels, enc.block_slots
     tab_packed = pack_table_bf16(table).reshape(l * s, LANES)
     scales = jnp.asarray(enc.level_scales, jnp.float32)
     boffs = jnp.asarray(enc.block_offsets, jnp.int32).reshape(-1)
-    out = _fwd_call(tab_packed, pts_b, mins, exts, scales, boffs,
+    out = _fwd_call(tab_packed, pts_b, wids, maxcnt, scales, boffs,
                     n_levels=l, s_rows=s,
                     box_min=tuple(float(v) for v in enc.bounding_box[:3]),
                     box_max=tuple(float(v) for v in enc.bounding_box[3:]))
     # [L, 2, NG, 128] -> [N, 2L] (level-major, feature-minor)
     feats = out.transpose(2, 3, 0, 1).reshape(n_pad, 2 * l)[:n]
     return feats
+
+
+def hash_encode_blocked(table: jnp.ndarray, points: jnp.ndarray, enc
+                        ) -> jnp.ndarray:
+    """Forward encode. table: [L * 2^T, 2] f32 master parameter;
+    points: [N, 3] f32 pre-clamped. Returns [N, 2L] (level-major,
+    feature-minor — same layout as the XLA path)."""
+    return encode_prepared(table, _prepare(points, enc), points.shape[0], enc)
+
+
+# --------------------------------------------------------------- backward
+
+def _make_bwd_kernel(n_levels: int, s_rows: int, groups: int,
+                     box_min, box_max):
+    """Gradient scatter kernel. The key identity: a point's 8 corner
+    contributions within its single block row are the rank-1 tensor
+    (wx outer wy outer wz) placed at lane u*25 + v*5 + w with
+    (u, v, w) = local_vertex + corner_offset. Build per-point 1-D weight
+    stacks EX/EY/EZ (row u = weight of vertex offset u), expand to the
+    [128-lane, 128-point] pattern matrix P once per (group, level), and
+    every window's scatter is ONE [8, 128q] x [128q, 128lane] MXU matmul
+    per feature: rows select the window's 8 block rows via the hit x
+    row-parity one-hot, columns land the weighted gradient on the right
+    lanes. No atomics (cf. CuHashEmbedder.cu:188-201), no transposes.
+    """
+    inv = [1.0 / (box_max[a] - box_min[a]) for a in range(3)]
+
+    def kernel(scales_ref, boffs_ref, wids_ref, maxcnt_ref, pts_ref, g_ref,
+               out_ref):
+        l = pl.program_id(0)
+        gb = pl.program_id(1)
+
+        @pl.when(gb == 0)
+        def _init():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        scale = scales_ref[l]
+        iota_sub = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+        mq_g, rr_g, p_g, g_g = [], [], [], []
+        for gi in range(groups):
+            cell, frac, m_q, rr = _group_geometry(
+                pts_ref, boffs_ref, scale, l, gi, box_min, inv)
+            mq_g.append(m_q)
+            rr_g.append(rr)
+            # E stacks: sublane u = this point's 1-D weight for vertex
+            # offset u along the axis ((1-f) at the local vertex, f one up)
+            stacks = []
+            for a in range(3):
+                loc = cell[a] & 3
+                e = (jnp.where(loc == iota_sub, 1.0 - frac[a], 0.0)
+                     + jnp.where(loc == (iota_sub - 1), frac[a], 0.0))
+                stacks.append(e)
+            prows = []
+            for k in range(16):
+                # lane = u*25 + v*5 + w; lanes >= 125 decode to u = 5 whose
+                # EX row is identically zero (loc <= 3), self-masking them
+                lane_id = 8 * k + iota_sub                  # [8, 128] i32
+                u = lane_id // 25
+                rem = lane_id - u * 25
+                v = rem // 5
+                w = rem - v * 5
+                pu = jnp.take_along_axis(stacks[0], u, axis=0)
+                pv = jnp.take_along_axis(stacks[1], v, axis=0)
+                pw = jnp.take_along_axis(stacks[2], w, axis=0)
+                prows.append((pu * pv * pw).astype(jnp.bfloat16))
+            p_g.append(jnp.concatenate(prows, axis=0))      # [128 lanes, 128 q]
+            g_g.append((
+                jnp.broadcast_to(g_ref[0, 0, gi:gi + 1, :], (8, LANES)),
+                jnp.broadcast_to(g_ref[0, 1, gi:gi + 1, :], (8, LANES))))
+
+        def scatter_window(gi, m):
+            ws = (m << 3) & (s_rows - 1)
+            hit = mq_g[gi] == m
+            arow = jnp.where(hit & (rr_g[gi] == iota_sub), 1.0, 0.0)
+            for f in range(2):                               # [8 rows, 128 q]
+                lhs = (arow * g_g[gi][f]).astype(jnp.bfloat16)
+                dw = jax.lax.dot_general(
+                    lhs, p_g[gi], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # [8, 128]
+                out_ref[0, f, pl.ds(ws, 8), :] += dw
+
+        # same ONE-loop-per-(level, group-block) shape as the forward:
+        # window 0 unrolled, sentinel/foreign ids self-masked by the hit test
+        for gi in range(groups):
+            scatter_window(gi, wids_ref[gi * 128])
+
+        def body(j, carry):
+            for gi in range(groups):
+                scatter_window(gi, wids_ref[gi * 128 + j])
+            return carry
+
+        jax.lax.fori_loop(1, maxcnt_ref[gb], body, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_levels", "s_rows", "box_min", "box_max"))
+def _bwd_call(pts_b, g_b, wids, maxcnt, scales, boffs, *,
+              n_levels, s_rows, box_min, box_max):
+    ngb_pad = maxcnt.shape[0] // n_levels    # 1024-padded group-block count
+    n_gb = pts_b.shape[0]
+    kernel = _make_bwd_kernel(n_levels, s_rows, GROUPS_PER_BLOCK,
+                              box_min, box_max)
+    interpret = jax.devices()[0].platform != "tpu"
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_levels, n_gb),
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((n_levels,), lambda l, g: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3 * n_levels,), lambda l, g: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((GROUPS_PER_BLOCK * 128,),
+                         lambda l, g, _nl=n_levels: (g * _nl + l,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((ngb_pad,), lambda l, g: (l,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, GROUPS_PER_BLOCK, LANES),
+                         lambda l, g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, GROUPS_PER_BLOCK, LANES),
+                         lambda l, g: (l, 0, g, 0), memory_space=pltpu.VMEM),
+        ],
+        # the level's [2, S, 128] gradient slab is revisited (accumulated)
+        # across all group-blocks: the grid iterates g fastest, so the block
+        # stays resident in VMEM for the whole level sweep
+        out_specs=pl.BlockSpec((1, 2, s_rows, LANES),
+                               lambda l, g: (l, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_levels, 2, s_rows, LANES),
+                                       jnp.float32),
+    )(scales, boffs, wids, maxcnt, pts_b, g_b)
+    return out
+
+
+def grad_prepared(g: jnp.ndarray, prep, n: int, enc) -> jnp.ndarray:
+    """Table gradient from a shared _prepare() result (see encode_prepared).
+
+    g: [N, 2L] upstream cotangent. Returns [L * 2^T, 2] f32. Padded points
+    get zero cotangent, so they contribute nothing even though their (valid,
+    clamped) coordinates hit real rows.
+    """
+    l, s = enc.n_levels, enc.block_slots
+    pts_b, wids, maxcnt, n_pad = prep
+    ng = n_pad // 128
+    g_pad = jnp.zeros((n_pad, 2 * l), jnp.float32).at[:n].set(
+        g.astype(jnp.float32))
+    g_b = g_pad.reshape(ng, 128, l, 2).transpose(2, 3, 0, 1)  # [L, 2, NG, 128]
+    scales = jnp.asarray(enc.level_scales, jnp.float32)
+    boffs = jnp.asarray(enc.block_offsets, jnp.int32).reshape(-1)
+    out = _bwd_call(pts_b, g_b, wids, maxcnt, scales, boffs,
+                    n_levels=l, s_rows=s,
+                    box_min=tuple(float(v) for v in enc.bounding_box[:3]),
+                    box_max=tuple(float(v) for v in enc.bounding_box[3:]))
+    # [L, 2, S, 128] -> flat entry space [L * S * 128, 2]
+    return out.transpose(0, 2, 3, 1).reshape(l * s * LANES, 2)
+
+
+def hash_encode_blocked_bwd(g: jnp.ndarray, points: jnp.ndarray, enc
+                            ) -> jnp.ndarray:
+    """Standalone gradient entry (micro-bench/tests); training shares the
+    prepass with the forward via custom_vjp residuals instead."""
+    return grad_prepared(g, _prepare(points, enc), points.shape[0], enc)

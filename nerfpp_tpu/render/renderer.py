@@ -59,6 +59,10 @@ class RenderConfig:
     use_sp_noise: bool = False
     # density activation: "relu" (reference parity) | "trunc_exp" | "softplus"
     density_activation: str = "relu"
+    # full-image rendering in 8x16 pixel tiles (pads H, W to tile multiples,
+    # pure transposes — no gathers). Keeps 128-pixel runs spatially compact
+    # for the blocked hash kernel; identical results for any renderer.
+    tile_order: bool = False
 
 
 class RenderResult(NamedTuple):
@@ -71,27 +75,42 @@ class RenderResult(NamedTuple):
 
 
 def make_nerf_network_fn(embed_fn, embed_dirs_fn, field_fn,
-                         sigma_channel: int = 3):
+                         sigma_channel: int = 3, sample_major: bool = False):
     """Build the standard NeRF network closure.
 
     Mirrors RunNetwork (NeRFRenderer.h:163-194): flatten, embed, broadcast dirs
     across samples, concat, field forward, sigma := 0 where keep_mask is False.
+
+    ``sample_major``: flatten [R, S, 3] as [S*R, 3] (all rays at sample 0,
+    then sample 1, ...) instead of ray-major [R*S, 3]. With tile-coherent ray
+    batches this keeps each 128-point run spatially compact — 128 nearby rays
+    at one depth, not one ray's whole depth sweep — which is what makes the
+    blocked hash-encode kernel's window lists short. Pointwise ops (encoders,
+    fields) are order-invariant, so results are identical.
     """
 
     def network_fn(params, pts, viewdirs):
         n_rays, n_samples, _ = pts.shape
-        flat = pts.reshape(-1, 3)
+        if sample_major:
+            flat = pts.transpose(1, 0, 2).reshape(-1, 3)
+        else:
+            flat = pts.reshape(-1, 3)
         embedded, keep_mask = embed_fn(params, flat)
 
         if viewdirs is not None:
-            dirs = jnp.broadcast_to(viewdirs[:, None, :], pts.shape).reshape(-1, 3)
-            embedded_dirs, _ = embed_dirs_fn(params, dirs)
+            dirs = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
+            if sample_major:
+                dirs = dirs.transpose(1, 0, 2)
+            embedded_dirs, _ = embed_dirs_fn(params, dirs.reshape(-1, 3))
             embedded = jnp.concatenate([embedded, embedded_dirs], axis=-1)
 
         raw = field_fn(params, embedded)
         if keep_mask is not None:
             sc = sigma_channel if sigma_channel >= 0 else raw.shape[-1] + sigma_channel
             raw = raw.at[..., sc].set(jnp.where(keep_mask, raw[..., sc], 0.0))
+        if sample_major:
+            return raw.reshape(n_samples, n_rays,
+                               raw.shape[-1]).transpose(1, 0, 2)
         return raw.reshape(n_rays, n_samples, raw.shape[-1])
 
     return network_fn
@@ -216,26 +235,41 @@ def render_image(params: dict, network_fn, integrate_fn,
 
     Returns (RenderOutputs with [h, w, ...] maps, (near_min, far_max)).
     """
-    rays_o, rays_d, cone_angle = ray_math.get_rays(h, w, k, c2w)
+    # tile order: render the image padded to 8x16-tile multiples with pixels
+    # enumerated tile-by-tile (pure reshapes/transposes both ways); border
+    # padding renders extra rays whose results are sliced away
+    th, tw = 8, 16
+    hp = -(-h // th) * th if cfg.tile_order else h
+    wp = -(-w // tw) * tw if cfg.tile_order else w
+
+    def flatten_pixels(x):
+        if not cfg.tile_order:
+            return x.reshape(-1, x.shape[-1])
+        c = x.shape[-1]
+        return (x.reshape(hp // th, th, wp // tw, tw, c)
+                .transpose(0, 2, 1, 3, 4).reshape(-1, c))
+
+    rays_o, rays_d, cone_angle = ray_math.get_rays(hp, wp, k, c2w)
 
     viewdirs = None
     if cfg.use_viewdirs:
         vd_src = rays_d
         if c2w_staticcam is not None:
-            rays_o, rays_d, cone_angle = ray_math.get_rays(h, w, k, c2w_staticcam)
+            rays_o, rays_d, cone_angle = ray_math.get_rays(hp, wp, k,
+                                                           c2w_staticcam)
         viewdirs = vd_src / jnp.linalg.norm(vd_src, axis=-1, keepdims=True)
-        viewdirs = viewdirs.reshape(-1, 3)
+        viewdirs = flatten_pixels(viewdirs)
 
     if cfg.ndc:
         rays_o, rays_d, cone_angle = ray_math.ndc_rays(
-            h, w, float(k[0, 0]), 1.0, rays_o, rays_d,
+            hp, wp, float(k[0, 0]), 1.0, rays_o, rays_d,
             None if cfg.thin_ray else cone_angle)
 
-    rays_o = rays_o.reshape(-1, 3)
-    rays_d = rays_d.reshape(-1, 3)
+    rays_o = flatten_pixels(rays_o)
+    rays_d = flatten_pixels(rays_d)
     near, far = ray_math.intersect_aabb(rays_o, rays_d, bounding_box)
 
-    n = h * w
+    n = hp * wp
     chunk = min(cfg.chunk, n)
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n
@@ -265,7 +299,13 @@ def render_image(params: dict, network_fn, integrate_fn,
 
     def unshape(x):
         flat = x.reshape(n_chunks * chunk, *x.shape[2:])[:n]
-        return flat.reshape(h, w, *x.shape[2:])
+        if not cfg.tile_order:
+            return flat.reshape(h, w, *x.shape[2:])
+        rest = x.shape[2:]
+        img = (flat.reshape(hp // th, wp // tw, th, tw, *rest)
+               .transpose(0, 2, 1, 3, *range(4, 4 + len(rest)))
+               .reshape(hp, wp, *rest))
+        return img[:h, :w]
 
     # Per-sample fields (weights, per-sample lang embeddings) would be huge
     # image-wide; drop them. None fields (e.g. unset relevancy) pass through.

@@ -105,3 +105,35 @@ def test_view_json_distortion_roundtrip():
                   k=np.eye(3, dtype=np.float32),
                   pose=np.eye(4, dtype=np.float32))
     assert View.from_json(v_no_d.to_json()).d is None
+
+
+def test_sampler_tile_mode():
+    """Tile-coherent sampling: every 128-pixel run is one 8x16 tile (rows
+    contiguous), pixels stay in bounds, targets match the image."""
+    scene = _tiny_scene()
+    s = RayBatchSampler.from_scene(scene, 256, tile_h=8, tile_w=16)
+    batch = s.sample(jax.random.PRNGKey(3), jnp.int32(1))
+    assert batch["rays_o"].shape == (256, 3)
+    # reconstruct pixel coords from the known enumeration to check bounds:
+    # resample coords with the same key/logic
+    img_idx = 1 % s.images.shape[0]
+    kh, kw = jax.random.split(jax.random.PRNGKey(3))
+    oy = (jax.random.uniform(kh, (2,)) * (16 - 8 + 1)).astype(jnp.int32)
+    ox = (jax.random.uniform(kw, (2,)) * (16 - 16 + 1)).astype(jnp.int32)
+    ys = (oy[:, None, None] + jnp.arange(8)[None, :, None]
+          + 0 * jnp.arange(16)[None, None, :]).reshape(-1)
+    xs = (ox[:, None, None] + 0 * jnp.arange(8)[None, :, None]
+          + jnp.arange(16)[None, None, :]).reshape(-1)
+    np.testing.assert_allclose(np.asarray(batch["target_rgb"]),
+                               np.asarray(s.images[img_idx][ys, xs]))
+    # tile contiguity: first 128 pixels share one 8x16 rectangle
+    assert int(ys[:128].max() - ys[:128].min()) == 7
+    assert int(xs[:128].max() - xs[:128].min()) == 15
+
+
+def test_sampler_tile_mode_precrop():
+    scene = _tiny_scene()
+    s = RayBatchSampler.from_scene(scene, 128, precrop_iters=5,
+                                   precrop_frac=0.9, tile_h=8, tile_w=16)
+    b = s.sample(jax.random.PRNGKey(0), jnp.int32(0))  # precrop active
+    assert np.isfinite(np.asarray(b["target_rgb"])).all()

@@ -14,7 +14,7 @@ import pytest
 
 from nerfpp_tpu.encoders.hashgrid import (BLOCK_LANES, HashGridEncoder,
                                           gather_trilerp_reference, morton3)
-from nerfpp_tpu.pallas.hash_encode_blocked import (build_boxes,
+from nerfpp_tpu.pallas.hash_encode_blocked import (build_window_lists,
                                                    hash_encode_blocked)
 
 BBOX = np.array([-1.5, -1.0, -1.2, 1.5, 1.0, 1.3], np.float32)
@@ -81,24 +81,65 @@ def test_injective_when_under_capacity():
     assert len(np.unique(slots)) == len(np.unique(key))
 
 
-def test_build_boxes_cover_all_slots():
+def test_window_lists_exact_and_bounded():
+    # per (level, group) the list must contain exactly the occupied window
+    # mortons (sorted, unique, sentinel-padded) — never more than 128
     enc = _enc()
-    pts = _rand_pts(4 * 128).reshape(4, 128, 3)
-    mins, exts = jax.tree.map(np.asarray, build_boxes(pts, enc))
+    ng = 8  # one group-block
+    pts = _rand_pts(ng * 128).reshape(ng, 128, 3)
+    wids, maxcnt = jax.tree.map(np.asarray,
+                                build_window_lists(jnp.asarray(pts), enc))
     l = enc.n_levels
-    ng_pad = mins.shape[0] // l
-    mins = mins.reshape(l, ng_pad)[:, :4]
-    exts = exts.reshape(l, ng_pad)[:, :4]
+    wids = wids.reshape(l, ng, 128)
     cell, _ = enc.blocked_cell_frac(pts.reshape(-1, 3))
-    oct_ = np.asarray(enc.blocked_oct(cell)).reshape(4, 128, l, 3) >> 1
+    oct_ = np.asarray(enc.blocked_oct(cell)).reshape(ng, 128, l, 3) >> 1
+    from nerfpp_tpu.encoders.hashgrid import morton3 as m3
+    sentinel = np.int32(0x7FFFFFFF)
     for li in range(l):
-        for g in range(4):
-            mn = [(mins[li, g] >> s) & 1023 for s in (0, 10, 20)]
-            ex = [(exts[li, g] >> s) & 1023 for s in (0, 10, 20)]
+        for g in range(ng):
             o = oct_[g, :, li]
-            for a in range(3):
-                assert o[:, a].min() == mn[a]
-                assert o[:, a].max() == mn[a] + ex[a] - 1
+            expect = np.unique(m3(o[:, 0], o[:, 1], o[:, 2]))
+            got = wids[li, g]
+            np.testing.assert_array_equal(got[:len(expect)], expect)
+            assert (got[len(expect):] == sentinel).all()
+    # maxcnt row 0 = max unique count over the 8 groups at each level
+    ngb_pad = maxcnt.shape[0] // l
+    maxcnt = maxcnt.reshape(l, ngb_pad)[:, 0]
+    for li in range(l):
+        expect_max = max(
+            len(np.unique(m3(oct_[g, :, li, 0], oct_[g, :, li, 1],
+                             oct_[g, :, li, 2]))) for g in range(ng))
+        assert maxcnt[li] == expect_max
+
+
+def test_fused_prepass_matches_oracle():
+    # the in-kernel bitonic window-list build (_windows_call via _prepare)
+    # must reproduce the XLA build_window_lists oracle exactly
+    from nerfpp_tpu.pallas import hash_encode_blocked as HEB
+    enc = _enc()
+    pts = _rand_pts(2048, seed=11)
+    ng = 2048 // 128
+    wids_o, maxcnt_o = jax.tree.map(
+        np.asarray, build_window_lists(pts.reshape(ng, 128, 3), enc))
+    _, wids_f, maxcnt_f, _ = HEB._prepare(pts, enc)
+    l, n_gb = enc.n_levels, ng // 8
+    wo = (wids_o.reshape(l, n_gb, 8, 128).transpose(1, 0, 2, 3).reshape(-1))
+    np.testing.assert_array_equal(np.asarray(wids_f), wo)
+    np.testing.assert_array_equal(np.asarray(maxcnt_f), maxcnt_o)
+
+
+def test_kernel_matches_oracle_incoherent_points():
+    # fully random (maximally incoherent) points must still be CORRECT —
+    # the window-list design bounds the work at 128 windows/group, it never
+    # truncates coverage
+    enc = _enc()
+    params = enc.init(jax.random.PRNGKey(0))
+    pts = _rand_pts(1024, seed=9)
+    idx, frac = enc.corner_indices(pts)
+    tab_bf16 = params["table"].astype(jnp.bfloat16).astype(jnp.float32)
+    ref = gather_trilerp_reference(tab_bf16, idx, frac).reshape(1024, -1)
+    got = hash_encode_blocked(params["table"], pts, enc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-8)
 
 
 @pytest.mark.parametrize("n", [1, 100, 2048])
@@ -112,6 +153,48 @@ def test_kernel_matches_oracle(n):
     got = hash_encode_blocked(params["table"], pts, enc)
     # kernel accumulates in a different corner/window order: f32 noise only
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-8)
+
+
+@pytest.mark.parametrize("n", [100, 1500])
+def test_backward_matches_oracle(n):
+    # the windowed MXU scatter backward must match the autodiff gradient of
+    # the XLA oracle (bf16 rounding of the rank-1 weight pattern only)
+    from nerfpp_tpu.pallas.hash_encode_blocked import hash_encode_blocked_bwd
+    enc = _enc()
+    pts = _rand_pts(n, seed=3)
+    g = jax.random.normal(jax.random.PRNGKey(4), (n, enc.output_dims))
+
+    def oracle_sum(table):
+        idx, frac = enc.corner_indices(pts)
+        f = gather_trilerp_reference(table, idx, frac).reshape(n, -1)
+        return jnp.sum(f * g)
+
+    table0 = enc.init(jax.random.PRNGKey(0))["table"]
+    ref = jax.grad(oracle_sum)(table0)
+    got = hash_encode_blocked_bwd(g, pts, enc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-2, rtol=2e-2)
+
+
+def test_encoder_custom_vjp_end_to_end():
+    # HashGridEncoder(use_pallas=True, scheme="blocked") routes fwd+bwd
+    # through the kernel pair and matches the XLA path's gradient
+    enc_k = _enc(use_pallas=True)
+    enc_x = _enc()
+    params = enc_k.init(jax.random.PRNGKey(0))
+    pts = _rand_pts(300, seed=5)
+
+    def loss(p, e):
+        feats, keep = e(p, pts)
+        return jnp.sum(jnp.sin(3.0 * feats)), keep
+
+    (lk, keep_k), gk = jax.value_and_grad(loss, has_aux=True)(params, enc_k)
+    (lx, keep_x), gx = jax.value_and_grad(loss, has_aux=True)(params, enc_x)
+    # kernel features are bf16-rounded (packed table) -> absolute tolerance
+    np.testing.assert_allclose(float(lk), float(lx), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(keep_k), np.asarray(keep_x))
+    np.testing.assert_allclose(np.asarray(gk["table"]),
+                               np.asarray(gx["table"]), atol=1e-2, rtol=2e-2)
 
 
 def test_kernel_clamped_out_of_bbox_points():

@@ -157,3 +157,43 @@ def test_relevancy_score_ordering():
     r_miss = LR.relevancy(e_neg, pos, neg)
     assert float(r_match[0]) > 0.99
     assert float(r_miss[0]) < 0.01
+
+
+def test_sample_major_network_fn_parity():
+    """Sample-major flattening is a pure reordering: identical raw outputs."""
+    def embed(params, x):
+        return jnp.concatenate([x, jnp.sin(x)], -1), x[:, 0] > -0.5
+
+    def dirs(params, x):
+        return jnp.cos(x), None
+
+    def field(params, e):
+        return jnp.concatenate([e[:, :3], jnp.sum(e, -1, keepdims=True)], -1)
+
+    fn_rm = make_nerf_network_fn(embed, dirs, field, sample_major=False)
+    fn_sm = make_nerf_network_fn(embed, dirs, field, sample_major=True)
+    pts = jax.random.normal(jax.random.PRNGKey(0), (7, 5, 3))
+    vd = jax.random.normal(jax.random.PRNGKey(1), (7, 3))
+    np.testing.assert_allclose(np.asarray(fn_rm({}, pts, vd)),
+                               np.asarray(fn_sm({}, pts, vd)), rtol=1e-6)
+
+
+def test_render_image_tile_order_parity():
+    """Tile-ordered full-image rendering must be pixel-identical (it is a
+    pure pixel permutation), including non-multiple-of-tile image sizes."""
+    cfg = RenderConfig(n_samples=12, n_importance=0, chunk=128,
+                       use_viewdirs=False, perturb=0.0, thin_ray=True)
+    cfg_t = dataclasses.replace(cfg, tile_order=True)
+    h, w = 13, 21  # deliberately not multiples of (8, 16)
+    k = jnp.array([[20.0, 0, w / 2], [0, 20.0, h / 2], [0, 0, 1]])
+    c2w = jnp.eye(4).at[2, 3].set(2.0)
+    integrate = make_nerf_integrate_fn(cfg)
+    key = jax.random.PRNGKey(0)
+    out, nf = render_image({}, _toy_network, integrate, h, w, k, c2w, key,
+                           cfg, BBOX)
+    out_t, nf_t = render_image({}, _toy_network, integrate, h, w, k, c2w, key,
+                               cfg_t, BBOX)
+    np.testing.assert_allclose(np.asarray(out_t.rgb), np.asarray(out.rgb),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_t.depth), np.asarray(out.depth),
+                               atol=1e-5)
