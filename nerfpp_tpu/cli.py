@@ -96,7 +96,8 @@ def _build_lerf_supervision(scene, p, tp):
     from nerfpp_tpu.data.pyramid_clip import (PyramidEmbedderProperties,
                                               RandomProjectionPatchEncoder,
                                               compute_or_load_pyramid,
-                                              load_clip_encoder)
+                                              load_clip_encoder,
+                                              make_device_pyramid)
 
     if p.path_to_clip:
         encode_images, encode_text = load_clip_encoder(p.path_to_clip)
@@ -114,9 +115,9 @@ def _build_lerf_supervision(scene, p, tp):
     cache = Path(tp.pyramid_clip_embedding_save_dir or tp.base_dir) \
         / "pyramid_embeddings.npz"
     pyramid = compute_or_load_pyramid(images, encode_images, props, cache)
-    lang = np.stack([pyramid.dense_pixel_embeddings(i, 0.5)
-                     for i in range(len(train_idx))])
-    return lang, encode_text
+    # device-side trilinear lookup per step instead of a dense per-pixel
+    # stack: ~0.4 MB/(image, zoom) instead of H*W*E*4 bytes per image
+    return make_device_pyramid(pyramid, scale=0.5), encode_text
 
 
 def cmd_train(args) -> None:
@@ -133,7 +134,17 @@ def cmd_train(args) -> None:
         ex.set_clip_encoder(encode_text)
         if p.lerf_positives:
             ex.set_lerf_prompts(p.lerf_positives, p.lerf_negatives)
-    ex.train(scene, tp, lang_embeddings=lang_embeddings)
+    mesh = None
+    if args.n_devices != 1:
+        import jax
+        from nerfpp_tpu.parallel import mesh as mesh_utils
+        n = args.n_devices if args.n_devices > 0 else jax.device_count()
+        if tp.n_rand % n:
+            raise SystemExit(f"NRand ({tp.n_rand}) must divide by the "
+                             f"device count ({n}) for data parallelism")
+        mesh = mesh_utils.make_mesh(n)
+        print(f"data-parallel over {n} devices: {mesh}")
+    ex.train(scene, tp, lang_embeddings=lang_embeddings, mesh=mesh)
     ex.save_checkpoint(base_dir)
     # save all three configs like main.cpp:257-259
     p.save(base_dir / "executor_params.json")
@@ -187,6 +198,9 @@ def build_parser() -> argparse.ArgumentParser:
                                 "classic", "none"])
         s.add_argument("--executor-params", default="")
         s.add_argument("--train-params", default="")
+        s.add_argument("--n-devices", type=int, default=1, metavar="N",
+                       help="data-parallel device count for training "
+                            "(0 = all visible devices; 1 = single chip)")
         s.add_argument("--base-dir", default="output")
         s.add_argument("--set", action="append", metavar="FIELD=VALUE",
                        help="override an ExecutorParams field")

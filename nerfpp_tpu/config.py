@@ -173,6 +173,10 @@ class TrainParams:
     # (8x16 tiles when the blocked hash kernel is active), -1 = force off
     tile_h: int = 0
     tile_w: int = 0
+    # steps per device dispatch (new): lax.scan k train steps inside one
+    # executable to amortize host/interconnect dispatch latency; reduced to
+    # gcd with the active logging/checkpoint intervals to keep their timing
+    steps_per_call: int = 1
 
     KEYMAP = {
         "pyramid_clip_embedding_save_dir": "PyramidClipEmbeddingSaveDir",
@@ -185,6 +189,7 @@ class TrainParams:
         "return_raw": "ReturnRaw", "render_factor": "RenderFactor",
         "precorp_frac": "PrecorpFrac",
         "tile_h": "TileH", "tile_w": "TileW",
+        "steps_per_call": "StepsPerCall",
     }
 
 

@@ -116,13 +116,19 @@ class SceneData:
         return cls.from_json(json.loads(Path(path).read_text()))
 
 
-def load_images(scene: SceneData, indices, white_bkgr: Optional[bool] = None
-                ) -> np.ndarray:
+def load_images(scene: SceneData, indices, white_bkgr: Optional[bool] = None,
+                target_hw: Optional[tuple] = None) -> np.ndarray:
     """Decode view images into one [n, H, W, 3] float stack.
 
     RGBA images are alpha-dropped like the reference's IMREAD_COLOR path
     (NeRFDataset.cpp:29-36) unless white_bkgr, in which case they are
     composited onto white (the Blender-synthetic convention).
+
+    ``target_hw``: resize every image to this (h, w) — for scenes with
+    per-view sizes (COLMAP multi-camera); callers must scale each view's
+    intrinsics by the same factors (RayBatchSampler.from_scene does).
+    Without it, each image keeps its own view's (h, w); ragged scenes then
+    fail loudly at np.stack instead of silently mixing sizes.
     """
     import cv2
     if white_bkgr is None:
@@ -130,14 +136,18 @@ def load_images(scene: SceneData, indices, white_bkgr: Optional[bool] = None
     out = []
     for i in indices:
         v = scene.views[i]
+        want = target_hw or (v.h, v.w)
         if scene.images is not None:
-            out.append(np.asarray(scene.images[i], np.float32))
+            img = np.asarray(scene.images[i], np.float32)
+            if img.shape[:2] != tuple(want):
+                img = cv2.resize(img, (want[1], want[0]))
+            out.append(img)
             continue
         img = cv2.imread(str(v.image_path), cv2.IMREAD_UNCHANGED)
         if img is None:
             raise FileNotFoundError(v.image_path)
-        if img.shape[:2] != (v.h, v.w):
-            img = cv2.resize(img, (v.w, v.h))
+        if img.shape[:2] != tuple(want):
+            img = cv2.resize(img, (want[1], want[0]))
         img = img.astype(np.float32) / 255.0
         if img.ndim == 2:
             img = np.stack([img] * 3, -1)
@@ -147,6 +157,48 @@ def load_images(scene: SceneData, indices, white_bkgr: Optional[bool] = None
             img = bgr
         out.append(img[..., :3][..., ::-1].copy())  # BGR -> RGB
     return np.stack(out)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DevicePyramid:
+    """Device-resident multi-scale CLIP patch grids with jit-inlined
+    trilinear pixel lookup (the TPU-native replacement for the reference's
+    per-pixel OpenMP CPU lookup, NeRFDataset.cpp:182-194, and for a dense
+    [n_train, H, W, E] supervision stack that does not fit HBM at 800px).
+
+    grids: one [n_imgs, nh_z, nw_z, E] array per bracketing zoom level
+    (at most two — the lookup scale is fixed at training time);
+    wins/strides: the zoom levels' window/stride in pixels; t: the static
+    log2-scale blend factor toward the second level.
+    """
+    grids: tuple
+    wins: tuple = dataclasses.field(metadata=dict(static=True))
+    strides: tuple = dataclasses.field(metadata=dict(static=True))
+    t: float = dataclasses.field(metadata=dict(static=True))
+
+    def lookup(self, img_idx, xs: jnp.ndarray, ys: jnp.ndarray) -> jnp.ndarray:
+        """Pixel coords -> [B, E] normalized supervision embeddings
+        (GetPixelValue semantics, PyramidEmbedder.cpp:230-310)."""
+        levels = []
+        for g, win, stride in zip(self.grids, self.wins, self.strides):
+            nh, nw = g.shape[1], g.shape[2]
+            fx = (xs.astype(jnp.float32) - win / 2.0) / stride
+            fy = (ys.astype(jnp.float32) - win / 2.0) / stride
+            x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, nw - 1)
+            x1 = jnp.clip(x0 + 1, 0, nw - 1)
+            y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, nh - 1)
+            y1 = jnp.clip(y0 + 1, 0, nh - 1)
+            tx = jnp.clip(fx - x0, 0.0, 1.0)[..., None]
+            ty = jnp.clip(fy - y0, 0.0, 1.0)[..., None]
+            gi = g[img_idx]
+            top = gi[y0, x0] * (1 - tx) + gi[y0, x1] * tx
+            bot = gi[y1, x0] * (1 - tx) + gi[y1, x1] * tx
+            levels.append(top * (1 - ty) + bot * ty)
+        out = levels[0] if len(levels) == 1 else (
+            levels[0] * (1.0 - self.t) + levels[1] * self.t)
+        norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
+        return out / jnp.maximum(norm, 1e-8)
 
 
 @jax.tree_util.register_dataclass
@@ -174,21 +226,35 @@ class RayBatchSampler:
     tile_h: int = dataclasses.field(default=0, metadata=dict(static=True))
     tile_w: int = dataclasses.field(default=0, metadata=dict(static=True))
     lang_embeddings: Optional[jnp.ndarray] = None  # [n_train, H, W, E] (LeRF)
+    pyramid: Optional[DevicePyramid] = None  # scalable LeRF supervision
 
     @classmethod
     def from_scene(cls, scene: SceneData, batch_size: int,
                    precrop_iters: int = 0, precrop_frac: float = 0.5,
-                   lang_embeddings=None, tile_h: int = 0, tile_w: int = 0
+                   lang_embeddings=None, tile_h: int = 0, tile_w: int = 0,
+                   pyramid: Optional[DevicePyramid] = None
                    ) -> "RayBatchSampler":
         idx = list(scene.split_indices("train"))
-        images = load_images(scene, idx)
-        poses = np.stack([scene.views[i].pose for i in idx])
-        ks = np.stack([scene.views[i].k for i in idx])
         v0 = scene.views[idx[0]]
+        # Per-view image sizes (COLMAP multi-camera captures produce them,
+        # colmap.py per-camera H/W): resize every view to view 0's size and
+        # scale its intrinsics to match, so the stacked sampler stays
+        # rectangular with CORRECT per-view rays.
+        images = load_images(scene, idx, target_hw=(v0.h, v0.w))
+        poses = np.stack([scene.views[i].pose for i in idx])
+        ks = []
+        for i in idx:
+            v = scene.views[i]
+            k = np.asarray(v.k, np.float32).copy()
+            k[0, :] *= v0.w / v.w
+            k[1, :] *= v0.h / v.h
+            ks.append(k)
+        ks = np.stack(ks)
         return cls(images=jnp.asarray(images), poses=jnp.asarray(poses),
                    intrinsics=jnp.asarray(ks), h=v0.h, w=v0.w,
                    batch_size=batch_size, precrop_iters=precrop_iters,
                    precrop_frac=precrop_frac, tile_h=tile_h, tile_w=tile_w,
+                   pyramid=pyramid,
                    lang_embeddings=(jnp.asarray(lang_embeddings)
                                     if lang_embeddings is not None else None))
 
@@ -244,6 +310,11 @@ class RayBatchSampler:
         rays_o, rays_d, cone = ray_math.get_ray_batch(rand_w, rand_h, k, pose)
         batch = {"rays_o": rays_o, "rays_d": rays_d, "cone_angle": cone,
                  "target_rgb": target}
-        if self.lang_embeddings is not None:
+        if self.pyramid is not None:
+            # on-the-fly trilinear pyramid lookup inside the jitted step
+            # (scale 0.5 is baked into the DevicePyramid like
+            # NeRFDataset.cpp:186's constant)
+            batch["target_lang"] = self.pyramid.lookup(img_idx, rand_w, rand_h)
+        elif self.lang_embeddings is not None:
             batch["target_lang"] = self.lang_embeddings[img_idx][rand_h, rand_w]
         return batch

@@ -196,6 +196,43 @@ class PyramidEmbedder:
         return emb
 
 
+def make_device_pyramid(emb: PyramidEmbedding, scale: float = 0.5):
+    """Build a DevicePyramid for on-device per-step supervision lookup.
+
+    The training-time lookup scale is a constant (0.5, NeRFDataset.cpp:186),
+    so only the two zoom levels bracketing log2(scale) and their static blend
+    factor are needed. Replaces the dense [n_train, H, W, E] supervision
+    stack (~1.9 GB per 800px image at E=768) with the raw patch grids
+    (~0.4 MB per image/zoom) gathered inside the jitted train step.
+    """
+    import jax.numpy as jnp
+
+    from nerfpp_tpu.data.dataset import DevicePyramid
+
+    sizes = set(emb.image_sizes)
+    if len(sizes) != 1:
+        raise ValueError("device pyramid requires uniform image sizes; "
+                         f"got {sizes}")
+    h, w = emb.image_sizes[0]
+    n_imgs = len(emb.image_sizes)
+    zooms = emb.props.zooms_for(h, w)
+    zlo, zhi = zooms[0], zooms[-1]
+    logs = float(np.log2(max(scale, 2.0 ** zlo)))
+    z1 = int(np.clip(np.floor(logs), zlo, zhi))
+    z2 = int(np.clip(z1 + 1, zlo, zhi))
+    t = float(np.clip(logs - z1, 0.0, 1.0)) if z2 != z1 else 0.0
+
+    grids, wins, strides = [], [], []
+    for z in ([z1] if z2 == z1 else [z1, z2]):
+        _, _, win, stride = emb.props.grid(h, w, z)
+        g = np.stack([emb.grids[(i, z)] for i in range(n_imgs)])
+        grids.append(jnp.asarray(g, jnp.float32))
+        wins.append(float(win))
+        strides.append(float(stride))
+    return DevicePyramid(grids=tuple(grids), wins=tuple(wins),
+                         strides=tuple(strides), t=t)
+
+
 def compute_or_load_pyramid(images: np.ndarray, encoder,
                             props: PyramidEmbedderProperties,
                             cache_path) -> PyramidEmbedding:

@@ -27,6 +27,8 @@ TPU-native re-design of the reference orchestrator (NeRFExecutor.h:299-1070):
 from __future__ import annotations
 
 import dataclasses
+import functools
+import math
 import time
 from pathlib import Path
 from typing import Any, Callable, Dict, Optional
@@ -367,6 +369,25 @@ class NeRFExecutor:
 
         return train_step
 
+    def _build_train_many(self, train_step) -> Callable:
+        """k train steps in ONE device dispatch (lax.scan over the step).
+
+        The reference dispatches per iteration and eats a host round-trip
+        each time (NeRFExecutor.h:859); on TPU through a remote tunnel that
+        latency is ~10-25 ms/step — scanning k steps amortizes it to ~0.
+        Returns the state after k steps and the LAST step's metrics (the
+        value IPrint would log)."""
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def train_many(state, sampler: RayBatchSampler, key: jax.Array, *,
+                       k: int):
+            def body(st, _):
+                return train_step(st, sampler, key)
+            state, ms = jax.lax.scan(body, state, None, length=k)
+            return state, jax.tree.map(lambda x: x[-1], ms)
+
+        return train_many
+
     # -------------------------------------------------------------- train
 
     def train(self, scene: SceneData, tp: TrainParams,
@@ -398,11 +419,26 @@ class NeRFExecutor:
                     and tp.n_rand % 128 == 0:
                 th, tw = 8, 16
             th, tw = max(th, 0), max(tw, 0)
+            from nerfpp_tpu.data.dataset import DevicePyramid
+            pyr = (lang_embeddings
+                   if isinstance(lang_embeddings, DevicePyramid) else None)
+            dense = None if pyr is not None else lang_embeddings
             sampler = RayBatchSampler.from_scene(
                 scene, tp.n_rand, tp.precorp_iters, tp.precorp_frac,
-                lang_embeddings=lang_embeddings, tile_h=th, tile_w=tw)
+                lang_embeddings=dense, pyramid=pyr, tile_h=th, tile_w=tw)
         train_step = self._build_train_step(tp, mesh)
         key = jax.random.PRNGKey(seed + 1)
+
+        # steps per dispatch: honor every active interval by shrinking to
+        # their gcd, so checkpoints/logs/renders still land on their step
+        spc = max(1, tp.steps_per_call)
+        if spc > 1:
+            # (precrop needs no alignment: its switch is traced on the step
+            # counter inside the jitted step)
+            for iv in (tp.i_print, tp.i_img, tp.i_weights, tp.i_testset):
+                if iv > 0:
+                    spc = math.gcd(spc, iv)
+        train_many = (self._build_train_many(train_step) if spc > 1 else None)
 
         from nerfpp_tpu.utils import profiling
         from nerfpp_tpu.utils.metrics import MetricsWriter
@@ -414,16 +450,25 @@ class NeRFExecutor:
         t_start = time.perf_counter()
         rays_done = 0
         profiler_ctx = None
-        for i in range(self.start + 1, tp.n_iters):
-            if profile_dir is not None and i == self.start + 10:
+        i = self.start
+        while i + 1 < tp.n_iters:
+            if profile_dir is not None and profiler_ctx is None \
+                    and i >= self.start + 9:
                 profiler_ctx = profiling.trace(profile_dir)
                 profiler_ctx.__enter__()
-            state, metrics = train_step(state, sampler, key)
-            if profiler_ctx is not None and i == self.start + 20:
+            # advance k steps in one dispatch; k aligns the step counter to
+            # the spc grid and never overshoots n_iters - 1
+            k = min(spc - (i % spc), tp.n_iters - 1 - i)
+            if k > 1:
+                state, metrics = train_many(state, sampler, key, k=k)
+            else:
+                state, metrics = train_step(state, sampler, key)
+            i += k
+            if profiler_ctx is not None and i >= self.start + 20:
                 jax.block_until_ready(metrics["loss"])
                 profiler_ctx.__exit__(None, None, None)
                 profiler_ctx = None
-            rays_done += tp.n_rand
+            rays_done += tp.n_rand * k
 
             if tp.i_weights > 0 and i % tp.i_weights == 0:
                 self.state = jax.device_get(state)

@@ -137,3 +137,34 @@ def test_sampler_tile_mode_precrop():
                                    precrop_frac=0.9, tile_h=8, tile_w=16)
     b = s.sample(jax.random.PRNGKey(0), jnp.int32(0))  # precrop active
     assert np.isfinite(np.asarray(b["target_rgb"])).all()
+
+
+def test_sampler_per_view_sizes_scaled_intrinsics():
+    """Scenes with per-view image sizes (COLMAP multi-camera): from_scene
+    resizes to view 0's size and scales each view's K so rays stay correct."""
+    scene = _tiny_scene()
+    # pretend view 1 was captured by a 2x camera: double its size + K
+    v1 = scene.views[1]
+    big = np.kron(scene.images[1], np.ones((2, 2, 1), np.float32))
+    imgs = [scene.images[i] for i in range(len(scene.views))]
+    imgs[1] = None  # replaced below via per-view images path
+    v1.h, v1.w = v1.h * 2, v1.w * 2
+    v1.k = v1.k.copy()
+    v1.k[0, :] *= 2
+    v1.k[1, :] *= 2
+    # SceneData.images must be uniform; emulate per-view content via a list
+    scene.images = None
+    import cv2, tempfile, os
+    d = tempfile.mkdtemp()
+    for i, v in enumerate(scene.views):
+        img = big if i == 1 else imgs[i]
+        path = os.path.join(d, f"{i}.png")
+        cv2.imwrite(path, (img[..., ::-1] * 255).astype(np.uint8))
+        v.image_path = path
+    s = RayBatchSampler.from_scene(scene, 32)
+    assert s.images.shape[1:3] == (16, 16)
+    # view 1's K must be scaled back to the 16x16 frame ~= original K
+    np.testing.assert_allclose(np.asarray(s.intrinsics[1]),
+                               np.asarray(scene.views[0].k), rtol=1e-5)
+    b = s.sample(jax.random.PRNGKey(0), jnp.int32(1))
+    assert np.isfinite(np.asarray(b["rays_o"])).all()
