@@ -104,6 +104,15 @@ class ExecutorParams:
     mlp_init_gain: float = 0.1        # xavier-normal gain (Trainable.h:32-53)
     compute_dtype: str = "bfloat16"   # MLP matmul dtype ("float32" | "bfloat16")
     use_pallas_encoder: bool = False  # fused VMEM hash kernel (needs T <= 2^13)
+    # occupancy-guided sampling (core/occupancy.py; capability the reference
+    # lacks): density-grid prior redistributes the fixed per-ray sample budget
+    # into occupied space. 0 bins = off.
+    use_occupancy_grid: bool = False
+    occ_grid_resolution: int = 128
+    occ_update_every: int = 16        # grid EMA refresh interval (steps)
+    occ_n_bins: int = 64              # depth bins for the per-ray prior
+    occ_uniform_frac: float = 0.1     # uniform blend (empty-space supervision)
+    occ_decay: float = 0.95           # EMA decay per refresh
 
     KEYMAP = {
         "net_depth": "net_depth", "net_width": "net_width",
@@ -142,6 +151,12 @@ class ExecutorParams:
         "mlp_init_gain": "mlp_init_gain",
         "compute_dtype": "compute_dtype",
         "use_pallas_encoder": "use_pallas_encoder",
+        "use_occupancy_grid": "use_occupancy_grid",
+        "occ_grid_resolution": "occ_grid_resolution",
+        "occ_update_every": "occ_update_every",
+        "occ_n_bins": "occ_n_bins",
+        "occ_uniform_frac": "occ_uniform_frac",
+        "occ_decay": "occ_decay",
     }
 
 
@@ -214,9 +229,10 @@ def hashnerf_preset(**overrides) -> ExecutorParams:
 
 
 def hashnerf_tpu_preset(**overrides) -> ExecutorParams:
-    """TPU-fast HashNeRF: VMEM-resident tables (T=2^13) with the fused Pallas
-    encode kernel (39x the XLA gather path measured; PERFORMANCE.md). Same
-    architecture otherwise — the configuration our TPU benchmarks lead with."""
+    """Small-table TPU HashNeRF: VMEM-resident tables (T=2^13) with the
+    in-VMEM fused Pallas encode kernel (PERFORMANCE.md). Same architecture
+    otherwise. For full reference capacity use hashnerf_blocked_preset (the
+    benchmark flagship)."""
     p = hashnerf_preset(log2_hashmap_size=13, use_pallas_encoder=True)
     for k, v in overrides.items():
         setattr(p, k, v)

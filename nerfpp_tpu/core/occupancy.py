@@ -1,0 +1,123 @@
+"""Occupancy-grid guided ray sampling (empty-space culling, TPU style).
+
+The reference imitates instant-NGP's hash encoding but never implemented its
+other half — the occupancy grid that skips empty space (no analog anywhere in
+/root/reference; this is a capability the new framework adds). GPU
+implementations march rays with data-dependent step counts; that is hostile
+to XLA's static shapes, so the TPU-native formulation keeps ``n_samples``
+fixed and *redistributes* the samples instead:
+
+- A [G, G, G] density grid (an EMA of field densities at jittered cell
+  points, updated every K steps from the current parameters — one cheap
+  batched field eval, no ray involvement) lives in the train state as a
+  non-trainable buffer.
+- Per ray, the grid is sampled at M uniform bin midpoints between the ray's
+  AABB near/far, blended with a uniform floor (so empty space keeps some
+  supervision and the CDF never degenerates), and the coarse z-values come
+  from inverse-CDF sampling over those bin weights (core/sampling.sample_pdf
+  — already monotone by construction). With a fresh (uniform) grid this
+  reduces exactly to the reference's uniform stratified sampling; as the
+  field converges, samples concentrate in occupied space, which both raises
+  sample efficiency AND makes the blocked hash kernel's point groups more
+  coherent.
+
+Everything is stop-gradient: the grid is a sampling prior, not a learnable
+parameter; unbiasedness of the RGB estimate is preserved by the volume
+rendering quadrature being evaluated at the sampled depths themselves.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from nerfpp_tpu.core.integrate import trunc_exp
+
+
+def apply_density_activation(sigma: jnp.ndarray, activation: str) -> jnp.ndarray:
+    """The same sigma mapping the renderer integrates with
+    (core/integrate.alpha_from_density)."""
+    if activation == "relu":
+        return jax.nn.relu(sigma)
+    if activation == "trunc_exp":
+        return trunc_exp(sigma)
+    if activation == "softplus":
+        return jax.nn.softplus(sigma)
+    raise ValueError(f"unknown density activation {activation!r}")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class OccupancyGrid:
+    """Non-trainable density EMA over the scene AABB."""
+    density: jnp.ndarray                       # [G, G, G] f32, >= 0
+
+    @property
+    def resolution(self) -> int:
+        return self.density.shape[0]
+
+
+def make_occupancy_grid(resolution: int = 128) -> OccupancyGrid:
+    """Fresh grid = uniform prior: occupancy-guided sampling degenerates to
+    the reference's uniform z-values until the first update."""
+    return OccupancyGrid(density=jnp.ones(
+        (resolution, resolution, resolution), jnp.float32))
+
+
+def update_grid(grid: OccupancyGrid, sigma_fn, params, bounding_box,
+                key: jax.Array, decay: float = 0.95) -> OccupancyGrid:
+    """EMA-max update from the current field (instant-NGP's schedule):
+    density <- max(decay * density, sigma(activation) at one jittered point
+    per cell). ``sigma_fn(params, pts [N, 3]) -> activated sigma [N]``.
+    """
+    g = grid.resolution
+    box_min = jnp.asarray(bounding_box[:3])
+    box_max = jnp.asarray(bounding_box[3:])
+    cell = (box_max - box_min) / g
+    ii = jnp.arange(g, dtype=jnp.float32)
+    corners = jnp.stack(jnp.meshgrid(ii, ii, ii, indexing="ij"), axis=-1)
+    jitter = jax.random.uniform(key, corners.shape, dtype=jnp.float32)
+    pts = box_min + (corners + jitter) * cell                 # [G, G, G, 3]
+
+    # evaluate in 4x4x8-cell brick order: each 128-point run is a compact
+    # brick instead of a 128-cell z-line, which keeps the blocked hash
+    # kernel's window lists short (pure transposes, g % 8 == 0 assumed)
+    def brick(x):
+        return (x.reshape(g // 4, 4, g // 4, 4, g // 8, 8, 3)
+                .transpose(0, 2, 4, 1, 3, 5, 6).reshape(-1, 3))
+
+    def unbrick(s):
+        return (s.reshape(g // 4, g // 4, g // 8, 4, 4, 8)
+                .transpose(0, 3, 1, 4, 2, 5).reshape(g, g, g))
+
+    sigma = jax.lax.stop_gradient(sigma_fn(params, brick(pts)))
+    return OccupancyGrid(
+        density=jnp.maximum(decay * grid.density, unbrick(sigma)))
+
+
+def ray_bin_weights(grid: OccupancyGrid, rays_o: jnp.ndarray,
+                    rays_d: jnp.ndarray, near: jnp.ndarray, far: jnp.ndarray,
+                    bounding_box, n_bins: int,
+                    uniform_frac: float = 0.1):
+    """Per-ray sampling prior over M uniform depth bins.
+
+    rays_o/rays_d: [R, 3]; near/far: [R, 1]. Returns (bin_edges [R, M+1],
+    weights [R, M]): grid density at bin midpoints, normalized per ray and
+    blended with ``uniform_frac`` of uniform mass (keeps empty space lightly
+    supervised and the inverse CDF well-conditioned).
+    """
+    g = grid.resolution
+    box_min = jnp.asarray(bounding_box[:3])
+    box_max = jnp.asarray(bounding_box[3:])
+    t = jnp.linspace(0.0, 1.0, n_bins + 1, dtype=jnp.float32)
+    edges = near + (far - near) * t                          # [R, M+1]
+    mids = 0.5 * (edges[..., 1:] + edges[..., :-1])          # [R, M]
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * mids[..., None]
+    rel = (pts - box_min) / (box_max - box_min)
+    idx = jnp.clip((rel * g).astype(jnp.int32), 0, g - 1)    # [R, M, 3]
+    d = grid.density[idx[..., 0], idx[..., 1], idx[..., 2]]  # [R, M]
+    d = jax.lax.stop_gradient(d)
+    pdf = d / jnp.maximum(jnp.sum(d, axis=-1, keepdims=True), 1e-8)
+    w = (1.0 - uniform_frac) * pdf + uniform_frac / n_bins
+    return edges, w

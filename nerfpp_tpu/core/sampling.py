@@ -17,6 +17,30 @@ def _safe_inv(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     return jnp.where(jnp.abs(x) < eps, jnp.ones_like(x) / eps, 1.0 / x)
 
 
+def _onehot_pick_matmul(onehot: jnp.ndarray, src: jnp.ndarray) -> jnp.ndarray:
+    """sum_j onehot[..., k, j] * src[..., j] on the MXU at ~f32 accuracy.
+
+    onehot: [..., K, M] bool (exactly one hot per k); src: [..., M] f32.
+    The naive where+sum is O(K*M) *elementwise* work per row — it dominated
+    full-image rendering (tens of GOPs/frame on the VPU at 640k rays). As a
+    batched matmul it is the same FLOPs on the 100x-faster MXU. bf16 operands
+    would round depths/CDF values, so src is split into three bf16 summands
+    (hi + mid + lo captures ~24 mantissa bits) and the one-hot (exact in
+    bf16) is contracted against each with f32 accumulation.
+    """
+    oh = onehot.astype(jnp.bfloat16)
+    hi = src.astype(jnp.bfloat16)
+    r1 = src - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    parts = jnp.stack([hi, mid, lo], axis=-1)                # [..., M, 3]
+    batch = tuple(range(src.ndim - 1))
+    out = jax.lax.dot_general(
+        oh, parts, (((oh.ndim - 1,), (src.ndim - 1,)), (batch, batch)),
+        preferred_element_type=jnp.float32)                  # [..., K, 3]
+    return out[..., 0] + out[..., 1] + out[..., 2]
+
+
 def sample_z_vals(near: jnp.ndarray, far: jnp.ndarray, n_samples: int,
                   lin_disp: bool = False, perturb: float = 0.0,
                   key: jax.Array | None = None) -> jnp.ndarray:
@@ -100,7 +124,8 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
         jc = jnp.minimum(j, clamp_hi)
         onehot = jc[..., :, None] == jax.lax.broadcasted_iota(
             jnp.int32, (1, 1, src.shape[-1]), 2)
-        return jnp.sum(jnp.where(onehot, src[..., None, :], 0.0), axis=-1)
+        return _onehot_pick_matmul(
+            jnp.broadcast_to(onehot, jc.shape + (src.shape[-1],)), src)
 
     cdf_below = pick(cdf, below, cdf.shape[-1] - 1)
     cdf_above = pick(cdf, above, cdf.shape[-1] - 1)
@@ -140,8 +165,13 @@ def merge_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     ranks = jnp.concatenate([rank_a, rank_b], axis=-1)       # [R, n], unique
     slots = jax.lax.broadcasted_iota(jnp.int32, vals.shape[:-1] + (n, n),
                                      vals.ndim)
+    # onehot[.., i, k]: source i lands in slot k; contract sources on the MXU
     onehot = ranks[..., :, None] == slots                    # [R, n, n]
-    return jnp.sum(jnp.where(onehot, vals[..., :, None], 0.0), axis=-2)
+    merged = _onehot_pick_matmul(
+        jnp.swapaxes(onehot, -1, -2), vals)                  # [R, n]
+    # the 3-way bf16 split leaves ~1e-7 relative noise; restore exact
+    # monotonicity for downstream dists/rank-merge consumers
+    return jax.lax.cummax(merged, axis=merged.ndim - 1)
 
 
 def reflect_boundary(pts: jnp.ndarray, min_bound: jnp.ndarray,

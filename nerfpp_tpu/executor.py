@@ -164,6 +164,13 @@ class NeRFExecutor:
         self.state = {"params": params, "opt_state": opt_state,
                       "step": jnp.zeros((), jnp.int32)}
 
+        if p.use_nerf and p.use_occupancy_grid:
+            # non-trainable sampling prior buffer (core/occupancy.py); starts
+            # uniform so sampling matches the reference until the 1st refresh
+            from nerfpp_tpu.core.occupancy import make_occupancy_grid
+            self.state["occupancy"] = make_occupancy_grid(
+                p.occ_grid_resolution)
+
         if p.ft_path:
             restored = ckpt_utils.restore_latest(Path(p.ft_path), self.state)
             if restored is not None:
@@ -222,6 +229,30 @@ class NeRFExecutor:
             use_raw_noise=use_raw_noise)
         return network_fn, integrate_fn
 
+    def _sigma_grid_fn(self):
+        """Field-density probe for the occupancy grid: activated sigma at
+        arbitrary points (view directions zeroed — sigma is direction-free in
+        both NeRFSmall and the classic MLP's alpha branch)."""
+        from nerfpp_tpu.core.occupancy import apply_density_activation
+        embedder, embeddirs, model = self.embedder, self.embeddirs, self.model
+        act = self.params.density_activation
+
+        def sigma_fn(params, pts):
+            if hasattr(embedder, "init"):
+                emb, keep = embedder(params["embed"], pts)
+            else:
+                emb, keep = embedder(pts)
+            if embeddirs is not None:
+                emb_d, _ = embeddirs(jnp.zeros((pts.shape[0], 3), jnp.float32))
+                emb = jnp.concatenate([emb, emb_d], axis=-1)
+            raw = model(params["model"], emb)
+            sigma = raw[..., 3]
+            if keep is not None:
+                sigma = jnp.where(keep, sigma, 0.0)
+            return apply_density_activation(sigma, act)
+
+        return sigma_fn
+
     def make_render_config(self, tp: TrainParams, train: bool = True,
                            return_weights: bool = False) -> RenderConfig:
         """Mirrors FillRenderParams (NeRFExecutor.h:379-415): Perturb fixed 0,
@@ -236,7 +267,10 @@ class NeRFExecutor:
             return_weights=return_weights,
             use_raw_noise=train, use_sp_noise=train and self.sp_alpha0 > 0,
             density_activation=self.params.density_activation,
-            tile_order=self._sample_major())
+            tile_order=self._sample_major(),
+            n_occ_bins=(self.params.occ_n_bins
+                        if self.params.use_occupancy_grid else 0),
+            occ_uniform_frac=self.params.occ_uniform_frac)
 
     # ---------------------------------------------------------- train step
 
@@ -267,15 +301,30 @@ class NeRFExecutor:
         use_tv = (p.use_nerf and p.embedder_type == "hash"
                   and p.hash_scheme == "fixed")
         embedder = self.embedder
+        use_occ = p.use_nerf and p.use_occupancy_grid
+        sigma_fn = self._sigma_grid_fn() if use_occ else None
+        occ_every, occ_decay = p.occ_update_every, p.occ_decay
 
         @jax.jit
         def train_step(state, sampler: RayBatchSampler, key: jax.Array):
             step = state["step"]
-            k_batch, k_render, k_lerf, k_tv = jax.random.split(
-                jax.random.fold_in(key, step), 4)
+            k_batch, k_render, k_lerf, k_tv, k_occ = jax.random.split(
+                jax.random.fold_in(key, step), 5)
             batch = sampler.sample(k_batch, step)
             state = {**state,
                      "params": mesh_utils.replicate_tree(state["params"], mesh)}
+
+            occ = state.get("occupancy")
+            if use_occ:
+                # refresh the sampling prior every occ_every steps from the
+                # current field (one batched eval; lax.cond skips otherwise)
+                from nerfpp_tpu.core import occupancy as occupancy_mod
+                occ = jax.lax.cond(
+                    step % occ_every == 0,
+                    lambda o: occupancy_mod.update_grid(
+                        o, sigma_fn, jax.lax.stop_gradient(state["params"]),
+                        bbox, k_occ, occ_decay),
+                    lambda o: o, occ)
 
             # annealing schedules (FillRenderParams, NeRFExecutor.h:411-412)
             stepf = step.astype(jnp.float32)
@@ -292,7 +341,8 @@ class NeRFExecutor:
                         res = render_ray_batch(
                             params, nerf_network_fn, nerf_integrate_fn,
                             cb["rays_o"], cb["rays_d"], cb["cone_angle"],
-                            kr, cfg, bbox, raw_noise_std, sp_alpha)
+                            kr, cfg, bbox, raw_noise_std, sp_alpha,
+                            occupancy=occ if use_occ else None)
                         rgb = res.outputs.rgb
                         target = jax.lax.stop_gradient(cb["target_rgb"])
                         sums["sq_sum"] = jnp.sum((rgb - target) ** 2)
@@ -364,8 +414,11 @@ class NeRFExecutor:
             metrics["loss"] = loss
             if "mse" in metrics:
                 metrics["psnr"] = psnr_from_mse(metrics["mse"])
-            return ({"params": new_params, "opt_state": opt_state,
-                     "step": step + 1}, metrics)
+            new_state = {"params": new_params, "opt_state": opt_state,
+                         "step": step + 1}
+            if occ is not None:
+                new_state["occupancy"] = occ
+            return (new_state, metrics)
 
         return train_step
 
@@ -524,8 +577,10 @@ class NeRFExecutor:
         out: Dict[str, Any] = {}
         if self.params.use_nerf:
             fn = self._jitted_render(h, w, cfg, "nerf", with_relevancy)
+            args = ((self.state["occupancy"],)
+                    if self.params.use_occupancy_grid else ())
             res, near_far = fn(self.state["params"], jnp.asarray(k),
-                               jnp.asarray(pose), key)
+                               jnp.asarray(pose), key, *args)
             out["nerf"] = res
             out["near_far"] = near_far
         if self.params.use_lerf:
@@ -557,10 +612,16 @@ class NeRFExecutor:
                 with_relevancy=with_relevancy)
             used_cfg = dataclasses.replace(cfg, use_viewdirs=False)
 
-        @jax.jit
-        def fn(params, k, pose, key):
-            return render_image(params, network_fn, integrate_fn, h, w, k,
-                                pose, key, used_cfg, bbox)
+        if branch == "nerf" and self.params.use_occupancy_grid:
+            @jax.jit
+            def fn(params, k, pose, key, occ):
+                return render_image(params, network_fn, integrate_fn, h, w, k,
+                                    pose, key, used_cfg, bbox, occupancy=occ)
+        else:
+            @jax.jit
+            def fn(params, k, pose, key):
+                return render_image(params, network_fn, integrate_fn, h, w, k,
+                                    pose, key, used_cfg, bbox)
 
         self._render_cache[cache_key] = fn
         return fn

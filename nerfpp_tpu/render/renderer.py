@@ -63,6 +63,11 @@ class RenderConfig:
     # pure transposes — no gathers). Keeps 128-pixel runs spatially compact
     # for the blocked hash kernel; identical results for any renderer.
     tile_order: bool = False
+    # occupancy-guided coarse sampling (core/occupancy.py): number of depth
+    # bins for the per-ray grid prior (0 = off -> reference-uniform z), and
+    # the uniform blend that keeps empty space lightly supervised
+    n_occ_bins: int = 0
+    occ_uniform_frac: float = 0.1
 
 
 class RenderResult(NamedTuple):
@@ -135,7 +140,8 @@ def render_rays(params: dict,
                 cone_angle, key: jax.Array, cfg: RenderConfig,
                 raw_noise_std=0.0,
                 stochastic_preconditioning_alpha=0.0,
-                bounding_box: Optional[jnp.ndarray] = None) -> RenderResult:
+                bounding_box: Optional[jnp.ndarray] = None,
+                occ_bins=None) -> RenderResult:
     """Hierarchical volume rendering of one fixed-size ray batch.
 
     rays_o/rays_d: [n_rays, 3]; near/far: [n_rays, 1]. Mirrors RenderRays
@@ -147,8 +153,15 @@ def render_rays(params: dict,
     k_strat, k_cone1, k_pdf, k_sp, k_cone2, k_noise1, k_noise2 = \
         jax.random.split(key, 7)
 
-    z_vals = S.sample_z_vals(near, far, cfg.n_samples, cfg.lin_disp,
-                             cfg.perturb, k_strat)
+    if occ_bins is not None:
+        # occupancy-guided coarse depths: inverse-CDF over the grid prior
+        # (uniform grid => exactly the uniform z-values of the branch below)
+        edges, w = occ_bins
+        z_vals = S.sample_pdf(edges, w, cfg.n_samples,
+                              det=(cfg.perturb == 0.0), key=k_strat)
+    else:
+        z_vals = S.sample_z_vals(near, far, cfg.n_samples, cfg.lin_disp,
+                                 cfg.perturb, k_strat)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     if not cfg.thin_ray:
         pts = S.tangent_scatter(pts, z_vals, cone_angle, rays_d, k_cone1,
@@ -195,7 +208,8 @@ def render_ray_batch(params: dict, network_fn, integrate_fn,
                      raw_noise_std=0.0,
                      stochastic_preconditioning_alpha=0.0,
                      focal: Optional[float] = None,
-                     hw: Optional[tuple] = None) -> RenderResult:
+                     hw: Optional[tuple] = None,
+                     occupancy=None) -> RenderResult:
     """Prepare a flat ray batch and render it (training-path entry).
 
     Mirrors the ray-preparation part of Render (NeRFRenderer.h:530-588):
@@ -215,18 +229,30 @@ def render_ray_batch(params: dict, network_fn, integrate_fn,
             None if cfg.thin_ray else cone_angle)
 
     near, far = ray_math.intersect_aabb(rays_o, rays_d, bounding_box)
+    occ_bins = None
+    if occupancy is not None and cfg.n_occ_bins > 0:
+        if cfg.ndc:
+            raise ValueError("occupancy-guided sampling is incompatible with "
+                             "NDC rays (the grid lives in world space)")
+        from nerfpp_tpu.core.occupancy import ray_bin_weights
+        occ_bins = ray_bin_weights(occupancy, rays_o, rays_d,
+                                   near[:, None], far[:, None],
+                                   bounding_box, cfg.n_occ_bins,
+                                   cfg.occ_uniform_frac)
     return render_rays(
         params, network_fn, integrate_fn, rays_o, rays_d,
         near[:, None], far[:, None], viewdirs,
         None if cfg.thin_ray else cone_angle, key, cfg,
-        raw_noise_std, stochastic_preconditioning_alpha, bounding_box)
+        raw_noise_std, stochastic_preconditioning_alpha, bounding_box,
+        occ_bins=occ_bins)
 
 
 def render_image(params: dict, network_fn, integrate_fn,
                  h: int, w: int, k: jnp.ndarray, c2w: jnp.ndarray,
                  key: jax.Array, cfg: RenderConfig,
                  bounding_box: jnp.ndarray,
-                 c2w_staticcam: Optional[jnp.ndarray] = None):
+                 c2w_staticcam: Optional[jnp.ndarray] = None,
+                 occupancy=None):
     """Full-image render via fixed-size chunks under ``lax.map``.
 
     The TPU-native replacement for BatchifyRays' dynamic chunk loop
@@ -288,10 +314,16 @@ def render_image(params: dict, network_fn, integrate_fn,
 
     def render_chunk(args):
         ro, rd, nr, fr, vd, kk = args
+        occ_bins = None
+        if occupancy is not None and cfg.n_occ_bins > 0:
+            from nerfpp_tpu.core.occupancy import ray_bin_weights
+            occ_bins = ray_bin_weights(occupancy, ro, rd, nr, fr,
+                                       bounding_box, cfg.n_occ_bins,
+                                       cfg.occ_uniform_frac)
         res = render_rays(params, network_fn, integrate_fn,
                           ro, rd, nr, fr, vd if has_viewdirs else None,
                           None if cfg.thin_ray else cone_angle, kk, cfg,
-                          bounding_box=bounding_box)
+                          bounding_box=bounding_box, occ_bins=occ_bins)
         return res.outputs
 
     outputs = jax.lax.map(

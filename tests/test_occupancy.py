@@ -1,0 +1,106 @@
+"""Occupancy-grid guided sampling tests (core/occupancy.py).
+
+This is a new capability with no reference analog (the reference imitates
+instant-NGP's encoder but not its occupancy culling); the key invariants:
+uniform grid == reference-uniform sampling exactly, density concentrates
+samples, and the executor round-trips the grid buffer through training and
+checkpoints.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nerfpp_tpu.core import sampling as S
+from nerfpp_tpu.core.occupancy import (OccupancyGrid, make_occupancy_grid,
+                                       ray_bin_weights, update_grid)
+
+BBOX = np.array([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0], np.float32)
+
+
+def _sphere_sigma(params, pts):
+    return jnp.where(jnp.linalg.norm(pts, axis=-1) < 0.4, 25.0, 0.0)
+
+
+def test_update_grid_learns_sphere():
+    grid = make_occupancy_grid(32)
+    grid = update_grid(grid, _sphere_sigma, {}, BBOX, jax.random.PRNGKey(0),
+                       decay=0.0)
+    d = np.asarray(grid.density)
+    c = 32 // 2
+    assert d[c, c, c] > 10.0            # center occupied
+    assert d[1, 1, 1] == 0.0            # corner empty
+    # EMA: a second update with decay keeps occupied cells hot
+    grid2 = update_grid(grid, lambda p, x: jnp.zeros(x.shape[0]), {}, BBOX,
+                        jax.random.PRNGKey(1), decay=0.5)
+    assert np.asarray(grid2.density)[c, c, c] > 5.0
+
+
+def test_uniform_grid_equals_uniform_sampling():
+    """With a fresh (uniform) grid, occupancy-guided deterministic z-values
+    must equal the reference's linspace z-values."""
+    grid = make_occupancy_grid(16)
+    n = 8
+    rays_o = jnp.tile(jnp.array([[0.0, 0.0, 2.0]]), (n, 1))
+    rays_d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (n, 1))
+    near = jnp.full((n, 1), 1.0)
+    far = jnp.full((n, 1), 3.0)
+    edges, w = ray_bin_weights(grid, rays_o, rays_d, near, far, BBOX,
+                               n_bins=32)
+    np.testing.assert_allclose(np.asarray(w), 1.0 / 32, atol=1e-7)
+    z = S.sample_pdf(edges, w, 64, det=True)
+    z_ref = S.sample_z_vals(near, far, 64)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=1e-4)
+
+
+def test_occupied_grid_concentrates_samples():
+    grid = make_occupancy_grid(32)
+    grid = update_grid(grid, _sphere_sigma, {}, BBOX, jax.random.PRNGKey(0),
+                       decay=0.0)
+    rays_o = jnp.array([[0.0, 0.0, 2.0]])
+    rays_d = jnp.array([[0.0, 0.0, -1.0]])
+    near = jnp.array([[1.0]])
+    far = jnp.array([[3.0]])
+    edges, w = ray_bin_weights(grid, rays_o, rays_d, near, far, BBOX,
+                               n_bins=64, uniform_frac=0.1)
+    z = np.asarray(S.sample_pdf(edges, w, 128, det=True))[0]
+    # the sphere spans z in [1.6, 2.4] along this ray (depth 2 +- 0.4)
+    inside = ((z > 1.6) & (z < 2.4)).mean()
+    assert inside > 0.75                 # vs 0.4 for uniform sampling
+    assert (np.diff(z) >= 0).all()       # sorted for the rank merge
+
+
+def test_executor_trains_and_checkpoints_with_occupancy(tmp_path):
+    from nerfpp_tpu.config import hashnerf_preset, TrainParams
+    from nerfpp_tpu.data.synthetic import make_synthetic_scene
+    from nerfpp_tpu.executor import NeRFExecutor
+
+    scene = make_synthetic_scene(n_train=2, n_val=1, n_test=1, image_hw=24)
+    p = hashnerf_preset(n_importance=8, log2_hashmap_size=10, n_levels=4,
+                        finest_resolution=32, use_occupancy_grid=True,
+                        occ_grid_resolution=16, occ_update_every=2,
+                        occ_n_bins=16)
+    tp = TrainParams(n_samples=8, n_rand=64, n_iters=5, chunk=64,
+                     i_print=0, i_weights=0, i_testset=0, i_img=0,
+                     base_dir=str(tmp_path))
+    ex = NeRFExecutor(p)
+    ex.white_bkgr = scene.white_bkgr
+    ex.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+    assert "occupancy" in ex.state
+    m = ex.train(scene, tp)
+    assert np.isfinite(m["loss"])
+    # the grid buffer was refreshed from the field (no longer all-ones)
+    d = np.asarray(ex.state["occupancy"].density)
+    assert not np.allclose(d, 1.0)
+    # render path consumes the grid
+    v = scene.views[0]
+    out = ex.render_view(v.pose, v.h, v.w, v.k, tp)
+    assert np.isfinite(np.asarray(out["nerf"].rgb)).all()
+    # checkpoint round-trip includes the buffer
+    ex.save_checkpoint(tmp_path)
+    p2 = hashnerf_preset(n_importance=8, log2_hashmap_size=10, n_levels=4,
+                         finest_resolution=32, use_occupancy_grid=True,
+                         occ_grid_resolution=16, occ_update_every=2,
+                         occ_n_bins=16, ft_path=str(tmp_path))
+    ex2 = NeRFExecutor(p2)
+    ex2.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+    np.testing.assert_allclose(np.asarray(ex2.state["occupancy"].density), d)
