@@ -53,17 +53,25 @@ def main() -> None:
     print(f"scene gen (800px x 18 views): {time.perf_counter()-t0:.0f}s",
           file=sys.stderr)
     extras = {"device": str(dev), "hash_table_log2_size": 19,
-              "config": "blocked T=2^19 L=16, NRand 4096, 32+96, tiles 8x16"}
+              "config": ("blocked T=2^19 L=16, NRand 4096, 16+48 samples, "
+                         "occupancy-guided, tiles 8x16")}
 
-    # ---- flagship: blocked T=2^19 steady-state training rate --------------
-    p = hashnerf_blocked_preset()
-    p.n_importance = 96
-    tp = TrainParams(n_samples=32, n_rand=4096, n_iters=8100, chunk=4096,
-                     i_print=0, i_weights=0, i_testset=0,
-                     base_dir="/tmp/nerfpp_bench", steps_per_call=25)
-    ex = NeRFExecutor(p)
-    ex.white_bkgr = scene.white_bkgr
-    ex.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+    # ---- flagship: blocked T=2^19 + occupancy-guided 16+48 sampling -------
+    # (measured best quality-per-step: 29.6 dB @ 2100 steps vs 28.7 dB for
+    # the no-occupancy 32+96 baseline, at 1.6x the throughput — see
+    # PERFORMANCE.md study table)
+    def make_flagship():
+        p = hashnerf_blocked_preset(n_importance=48, use_occupancy_grid=True,
+                                    occ_update_every=32)
+        tp = TrainParams(n_samples=16, n_rand=4096, n_iters=8100, chunk=4096,
+                         i_print=0, i_weights=0, i_testset=0,
+                         base_dir="/tmp/nerfpp_bench", steps_per_call=25)
+        ex = NeRFExecutor(p)
+        ex.white_bkgr = scene.white_bkgr
+        ex.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+        return ex, tp
+
+    ex, tp = make_flagship()
     sampler = RayBatchSampler.from_scene(scene, tp.n_rand, tile_h=8, tile_w=16)
     step_fn = ex._build_train_step(tp)
     many_fn = ex._build_train_many(step_fn)
@@ -80,40 +88,19 @@ def main() -> None:
     extras["early_phase_rays_per_sec"] = round(early_rps)
     print(f"early (noisy) phase: {early_rps:,.0f} rays/s", file=sys.stderr)
 
-    # steady state: annealing schedules are zero from NIters/6 onward
-    st = {**ex.state, "step": jnp.asarray(3000, jnp.int32)}
-    state, m = many_fn(st, sampler, key, k=25)
-    _sync(jax, m)
-    t0 = time.perf_counter()
-    for _ in range(4):
-        state, m = many_fn(state, sampler, key, k=25)
-    _sync(jax, m)
-    dt = (time.perf_counter() - t0) / 100
-    rays_per_sec = tp.n_rand / dt
-    print(f"flagship steady state: {dt*1000:.1f} ms/step -> "
-          f"{rays_per_sec:,.0f} rays/s", file=sys.stderr)
-
     # ---- quality: real schedule (annealing active), held-out PSNR ---------
-    # wall-clock-capped at ~7.5 min; reports the step it reached
+    # wall-clock-capped at ~7 min; reports the step it reached
     quality_steps = 0
     t_q = time.perf_counter()
-    tq = TrainParams(n_samples=32, n_rand=4096, n_iters=8100, chunk=4096,
-                     i_print=0, i_weights=0, i_testset=0,
-                     base_dir="/tmp/nerfpp_bench", steps_per_call=50)
-    exq = NeRFExecutor(hashnerf_blocked_preset(n_importance=96))
-    exq.white_bkgr = scene.white_bkgr
-    exq.initialize(scene.bounding_box, tq.lrate_decay, seed=0)
-    stepq = exq._build_train_step(tq)
-    manyq = exq._build_train_many(stepq)
-    stateq = exq.state
-    while quality_steps < tq.n_iters - 1 and \
-            time.perf_counter() - t_q < 450:
-        stateq, mq = manyq(stateq, sampler, key, k=50)
+    stateq = ex.state
+    while quality_steps < tp.n_iters - 1 and \
+            time.perf_counter() - t_q < 420:
+        stateq, mq = many_fn(stateq, sampler, key, k=50)
         quality_steps += 50
         _sync(jax, mq["loss"])
-    exq.state = stateq
+    ex.state = stateq
     v = scene.views[list(scene.split_indices("test"))[0]]
-    out = exq.render_view(v.pose, v.h, v.w, v.k, tq)
+    out = ex.render_view(v.pose, v.h, v.w, v.k, tp)
     rgb = np.clip(np.asarray(out["nerf"].rgb), 0, 1)
     gt = scene.images[v.id]
     psnr = float(-10 * np.log10(max(float(np.mean((rgb - gt) ** 2)), 1e-10)))
@@ -122,6 +109,22 @@ def main() -> None:
     print(f"held-out PSNR after {quality_steps} steps "
           f"({extras['quality_wall_clock_s']}s): {psnr:.2f} dB",
           file=sys.stderr)
+
+    # ---- headline: steady-state rate AT THE TRAINED STATE -----------------
+    # (trained importance distributions are less coherent than an untrained
+    # model's — measuring here is the honest number; noises are annealed by
+    # this step count on the 8100 schedule)
+    exq = ex
+    state, m = many_fn(stateq, sampler, key, k=25)
+    _sync(jax, m)
+    t0 = time.perf_counter()
+    for _ in range(4):
+        state, m = many_fn(state, sampler, key, k=25)
+    _sync(jax, m)
+    dt = (time.perf_counter() - t0) / 100
+    rays_per_sec = tp.n_rand / dt
+    print(f"flagship steady state (trained): {dt*1000:.1f} ms/step -> "
+          f"{rays_per_sec:,.0f} rays/s", file=sys.stderr)
 
     # ---- render throughput (800x800 full frame, tile-ordered) -------------
     tr = TrainParams(n_samples=32, n_rand=4096, chunk=65536)

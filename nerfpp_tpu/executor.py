@@ -146,7 +146,9 @@ class NeRFExecutor:
             self.lang_embedder = HashGridEncoder(
                 self.bounding_box, p.n_levels_le, p.n_features_per_level_le,
                 p.log2_hashmap_size_le, p.base_resolution_le,
-                p.finest_resolution_le, scheme=p.hash_scheme, primes_seed=1)
+                p.finest_resolution_le, scheme=p.hash_scheme, primes_seed=1,
+                use_pallas=(p.use_pallas_encoder
+                            and p.hash_scheme == "blocked"))
             params["lang_embed"] = self.lang_embedder.init(keys[2])
             self.lang_model = LeRFField(
                 p.geo_feat_dim_le, p.num_layers_le, p.hidden_dim_le,
@@ -221,7 +223,11 @@ class NeRFExecutor:
         def lerf_field_fn(params, x):
             return lang_model(params["lang_model"], x)
 
-        network_fn = lerf_render.make_lerf_network_fn(lang_embed_fn, lerf_field_fn)
+        sample_major = (self.lang_embedder is not None
+                        and self.lang_embedder.scheme == "blocked"
+                        and self.lang_embedder.use_pallas)
+        network_fn = lerf_render.make_lerf_network_fn(
+            lang_embed_fn, lerf_field_fn, sample_major=sample_major)
         integrate_fn = lerf_render.make_lerf_integrate_fn(
             self.params.lang_embed_dim,
             self.lerf_positives if with_relevancy else None,
@@ -411,6 +417,18 @@ class NeRFExecutor:
             updates, opt_state = tx.update(grads, state["opt_state"],
                                            state["params"])
             new_params = optax.apply_updates(state["params"], updates)
+            # the reference wraps Optimizer->step() in try/catch-and-continue
+            # (NeRFExecutor.h:985-989); the jit-compatible analog: a
+            # non-finite loss skips the whole update instead of poisoning
+            # every parameter with NaNs
+            ok = jnp.isfinite(loss)
+            new_params = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old),
+                new_params, state["params"])
+            opt_state = jax.tree.map(
+                lambda new, old: (jnp.where(ok, new, old)
+                                  if hasattr(new, "ndim") else new),
+                opt_state, state["opt_state"])
             metrics["loss"] = loss
             if "mse" in metrics:
                 metrics["psnr"] = psnr_from_mse(metrics["mse"])

@@ -64,19 +64,28 @@ def relevancy(embedding: jnp.ndarray, positives: jnp.ndarray,
     return jnp.min(pair, axis=-1)
 
 
-def make_lerf_network_fn(lang_embed_fn, lerf_field_fn):
+def make_lerf_network_fn(lang_embed_fn, lerf_field_fn,
+                         sample_major: bool = False):
     """LeRF network closure: embed points with the language hash grid, run the
     LeRF field; zero sigma_le (last channel) outside the bbox
-    (LeRFRenderer.cpp:5-24). No view directions."""
+    (LeRFRenderer.cpp:5-24). No view directions. ``sample_major``: see
+    renderer.make_nerf_network_fn — point-group coherence for the blocked
+    hash kernel; pointwise ops make it result-identical."""
 
     def network_fn(params, pts, viewdirs):
         del viewdirs
         n_rays, n_samples, _ = pts.shape
-        flat = pts.reshape(-1, 3)
+        if sample_major:
+            flat = pts.transpose(1, 0, 2).reshape(-1, 3)
+        else:
+            flat = pts.reshape(-1, 3)
         embedded, keep_mask = lang_embed_fn(params, flat)
         raw = lerf_field_fn(params, embedded)
         if keep_mask is not None:
             raw = raw.at[..., -1].set(jnp.where(keep_mask, raw[..., -1], 0.0))
+        if sample_major:
+            return raw.reshape(n_samples, n_rays,
+                               raw.shape[-1]).transpose(1, 0, 2)
         return raw.reshape(n_rays, n_samples, raw.shape[-1])
 
     return network_fn

@@ -63,5 +63,60 @@ def main():
     run("D_8+32_occ", 8, 32, True)
 
 
+
+
+def coarse_only():
+    """E/F: occupancy-guided coarse-only (no hierarchical pass) — the
+    instant-ngp-style recipe; z placement shared across a tile's rays keeps
+    encode groups coherent even when trained."""
+    main_scene = make_synthetic_scene(n_train=16, n_val=1, n_test=1,
+                                      image_hw=800, white_bkgr=False,
+                                      n_samples=64)
+    test_v = main_scene.views[list(main_scene.split_indices("test"))[0]]
+
+    def run(tag, n_samples, n_iters=2100):
+        p = hashnerf_blocked_preset(n_importance=0, use_occupancy_grid=True,
+                                    occ_update_every=32)
+        tp = TrainParams(n_samples=n_samples, n_rand=4096, n_iters=n_iters,
+                         chunk=4096, i_print=0, i_weights=0, i_testset=0,
+                         i_img=0, base_dir=f"/tmp/qocc_{tag}",
+                         steps_per_call=100)
+        ex = NeRFExecutor(p)
+        ex.white_bkgr = main_scene.white_bkgr
+        ex.initialize(main_scene.bounding_box, tp.lrate_decay, seed=0)
+        t0 = time.perf_counter()
+        ex.train(main_scene, tp)
+        wall = time.perf_counter() - t0
+        sampler = RayBatchSampler.from_scene(main_scene, tp.n_rand,
+                                             tile_h=8, tile_w=16)
+        step = ex._build_train_step(tp)
+        many = ex._build_train_many(step)
+        st = {**ex.state, "step": jnp.asarray(3000, jnp.int32)}
+        st, m = many(st, sampler, jax.random.PRNGKey(9), k=25)
+        jax.tree.map(np.asarray, m)
+        t0 = time.perf_counter()
+        st, m = many(st, sampler, jax.random.PRNGKey(9), k=25)
+        jax.tree.map(np.asarray, m)
+        rps = tp.n_rand * 25 / (time.perf_counter() - t0)
+        out = ex.render_view(test_v.pose, test_v.h, test_v.w, test_v.k, tp)
+        np.asarray(out["nerf"].rgb)
+        t0 = time.perf_counter()
+        out = ex.render_view(test_v.pose, test_v.h, test_v.w, test_v.k, tp)
+        rgb = np.clip(np.asarray(out["nerf"].rgb), 0, 1)
+        mpix = test_v.h * test_v.w / (time.perf_counter() - t0) / 1e6
+        gt = main_scene.images[test_v.id]
+        psnr = float(-10 * np.log10(max(float(np.mean((rgb - gt) ** 2)),
+                                        1e-10)))
+        print(f"{tag}: PSNR {psnr:.2f} dB | steady {rps:,.0f} rays/s | "
+              f"render {mpix:.3f} Mpix/s | wall {wall:.0f}s", flush=True)
+
+    run("E_48+0_occ", 48)
+    run("F_64+0_occ", 64)
+    run("G_96+0_occ", 96)
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--hierarchical" in sys.argv:
+        main()
+    else:
+        coarse_only()

@@ -141,3 +141,39 @@ def test_config_artifacts_saved_like_reference(tmp_path):
     assert TrainParams.load(base / "executor_train_params.json") == tp
     j = json.loads((base / "data.json").read_text())
     assert len(j["Views"]) == 6
+
+
+def test_non_finite_loss_skips_update():
+    """The jit analog of the reference's try/catch around Optimizer->step()
+    (NeRFExecutor.h:985-989): a NaN loss must leave params untouched."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from nerfpp_tpu.config import hashnerf_preset, TrainParams
+    from nerfpp_tpu.data.dataset import RayBatchSampler
+    from nerfpp_tpu.data.synthetic import make_synthetic_scene
+    from nerfpp_tpu.executor import NeRFExecutor
+
+    scene = make_synthetic_scene(n_train=2, n_val=1, n_test=1, image_hw=16)
+    p = hashnerf_preset(n_importance=0, log2_hashmap_size=10, n_levels=4,
+                        finest_resolution=32)
+    tp = TrainParams(n_samples=8, n_rand=32, n_iters=3, chunk=32,
+                     i_print=0, i_weights=0, i_testset=0, i_img=0,
+                     base_dir="/tmp/nanguard")
+    ex = NeRFExecutor(p)
+    ex.white_bkgr = scene.white_bkgr
+    ex.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+    sampler = RayBatchSampler.from_scene(scene, tp.n_rand)
+    # poison the images -> NaN targets -> NaN loss
+    bad = sampler.images * jnp.nan
+    bad_sampler = RayBatchSampler(
+        images=bad, poses=sampler.poses, intrinsics=sampler.intrinsics,
+        h=sampler.h, w=sampler.w, batch_size=sampler.batch_size)
+    step = ex._build_train_step(tp)
+    before = jax.device_get(ex.state["params"])
+    state, m = step(ex.state, bad_sampler, jax.random.PRNGKey(0))
+    assert not np.isfinite(float(m["loss"]))
+    after = jax.device_get(state["params"])
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(a, b)
+    assert int(state["step"]) == 1  # step counter still advances
