@@ -6,19 +6,19 @@ Run by the driver on real TPU hardware each round. Prints ONE JSON line:
 The headline metric is single-chip training rays/sec on the flagship
 HashNeRF stack at FULL reference capacity — 16-level hash grid, T=2^19
 entries/level (main.cpp:189) in the blocked halo layout with the windowed
-Pallas encode/scatter kernel pair, NeRFSmall 3x64, SH-8 dirs, hierarchical
-32+96 sampling, 8x16-tile-coherent ray batches — on an 800x800 synthetic
+Pallas encode/scatter kernel pair, NeRFSmall 3x64, SH-8 dirs, 64
+occupancy-guided samples/ray, 8x16-tile-coherent ray batches — on an 800x800 synthetic
 scene (realistic pixel density; the round-1 bench's 96px scene made tiles
 angularly huge and was flagged as a miniature). Compared against the driver
 target of 5M rays/s on a v5e-8 (BASELINE.json); this number is ONE chip —
 the DP path (parallel/mesh.py, CLI --n-devices) is validated on the virtual
 8-device CPU mesh and by the driver's multichip dryrun.
 
-Headline measures the post-anneal steady state (the reference's raw-noise /
-stochastic-preconditioning schedules decay to zero by NIters/8 and NIters/6);
-the noisy early-phase rate, the exact reference workload (NRand 16384,
-64+192 samples, main.cpp:230-234), held-out PSNR on the real annealing
-schedule, render Mpix/s, and the classic-NeRF stack go to extras/stderr.
+Headline measures the post-anneal steady state at the TRAINED state; the
+early-phase rate, the exact reference workload (NRand 16384, 64+192
+hierarchical samples, main.cpp:230-234), held-out PSNR on the real
+annealing schedule, render Mpix/s, and the classic-NeRF stack go to
+extras/stderr.
 """
 from __future__ import annotations
 
@@ -48,22 +48,41 @@ def main() -> None:
     t_bench0 = time.perf_counter()
 
     t0 = time.perf_counter()
-    scene = make_synthetic_scene(n_train=16, n_val=1, n_test=1, image_hw=800,
-                                 white_bkgr=False, n_samples=64)
-    print(f"scene gen (800px x 18 views): {time.perf_counter()-t0:.0f}s",
+    cache = "/tmp/nerfpp_bench_scene_800_v1.npz"
+    try:
+        d = np.load(cache, allow_pickle=True)
+        scene = make_synthetic_scene(n_train=16, n_val=1, n_test=1,
+                                     image_hw=8, n_samples=2,
+                                     white_bkgr=False)
+        assert d["images"].shape[0] == len(scene.views)
+        scene.images = d["images"]
+        for v, hw, kk, pose in zip(scene.views, d["hw"], d["k"], d["poses"]):
+            v.h, v.w = int(hw[0]), int(hw[1])
+            v.k, v.pose = kk, pose
+        print("scene cache hit", file=sys.stderr)
+    except Exception:
+        scene = make_synthetic_scene(n_train=16, n_val=1, n_test=1,
+                                     image_hw=800, white_bkgr=False,
+                                     n_samples=64)
+        np.savez(cache, images=scene.images,
+                 hw=np.asarray([[v.h, v.w] for v in scene.views]),
+                 k=np.stack([v.k for v in scene.views]),
+                 poses=np.stack([v.pose for v in scene.views]))
+    print(f"scene ready (800px x 18 views): {time.perf_counter()-t0:.0f}s",
           file=sys.stderr)
     extras = {"device": str(dev), "hash_table_log2_size": 19,
-              "config": ("blocked T=2^19 L=16, NRand 4096, 16+48 samples, "
-                         "occupancy-guided, tiles 8x16")}
+              "config": ("blocked T=2^19 L=16, NRand 4096, 64 occupancy-"
+                         "guided samples (no hierarchical pass), tiles 8x16")}
 
-    # ---- flagship: blocked T=2^19 + occupancy-guided 16+48 sampling -------
-    # (measured best quality-per-step: 29.6 dB @ 2100 steps vs 28.7 dB for
-    # the no-occupancy 32+96 baseline, at 1.6x the throughput — see
-    # PERFORMANCE.md study table)
+    # ---- flagship: blocked T=2^19 + occupancy-guided coarse-only 64 -------
+    # (measured best on BOTH axes: 32.5 dB @ 2100 steps vs 28.7 dB for the
+    # no-occupancy hierarchical 32+96 baseline, at 2.3x the throughput; the
+    # grid prior replaces the per-ray importance pass entirely, which also
+    # sidesteps the annealed noises' fine-pass decoherence — PERFORMANCE.md)
     def make_flagship():
-        p = hashnerf_blocked_preset(n_importance=48, use_occupancy_grid=True,
+        p = hashnerf_blocked_preset(n_importance=0, use_occupancy_grid=True,
                                     occ_update_every=32)
-        tp = TrainParams(n_samples=16, n_rand=4096, n_iters=8100, chunk=4096,
+        tp = TrainParams(n_samples=64, n_rand=4096, n_iters=8100, chunk=4096,
                          i_print=0, i_weights=0, i_testset=0,
                          base_dir="/tmp/nerfpp_bench", steps_per_call=25)
         ex = NeRFExecutor(p)
@@ -77,7 +96,7 @@ def main() -> None:
     many_fn = ex._build_train_many(step_fn)
     key = jax.random.PRNGKey(1)
 
-    # early phase (noises active randomize fine-sample placement -> slower)
+    # early phase (annealed sigma-noise active; grid still warming up)
     state, m = step_fn(ex.state, sampler, key)
     _sync(jax, m)
     t0 = time.perf_counter()
@@ -111,9 +130,9 @@ def main() -> None:
           file=sys.stderr)
 
     # ---- headline: steady-state rate AT THE TRAINED STATE -----------------
-    # (trained importance distributions are less coherent than an untrained
-    # model's — measuring here is the honest number; noises are annealed by
-    # this step count on the 8100 schedule)
+    # (a trained model's sample placement is less group-coherent than an
+    # untrained one's — measuring here is the honest number; noises are
+    # annealed by this step count on the 8100 schedule)
     exq = ex
     state, m = many_fn(stateq, sampler, key, k=25)
     _sync(jax, m)
@@ -127,7 +146,7 @@ def main() -> None:
           f"{rays_per_sec:,.0f} rays/s", file=sys.stderr)
 
     # ---- render throughput (800x800 full frame, tile-ordered) -------------
-    tr = TrainParams(n_samples=32, n_rand=4096, chunk=65536)
+    tr = TrainParams(n_samples=64, n_rand=4096, chunk=65536)
     out = exq.render_view(v.pose, v.h, v.w, v.k, tr)   # compile
     t0 = time.perf_counter()
     out = exq.render_view(v.pose, v.h, v.w, v.k, tr)
