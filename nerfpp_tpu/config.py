@@ -113,6 +113,7 @@ class ExecutorParams:
     occ_n_bins: int = 64              # depth bins for the per-ray prior
     occ_uniform_frac: float = 0.1     # uniform blend (empty-space supervision)
     occ_decay: float = 0.95           # EMA decay per refresh
+    occ_ray_tile: int = 128           # share one CDF per N rays (0 = per-ray)
 
     KEYMAP = {
         "net_depth": "net_depth", "net_width": "net_width",
@@ -157,6 +158,7 @@ class ExecutorParams:
         "occ_n_bins": "occ_n_bins",
         "occ_uniform_frac": "occ_uniform_frac",
         "occ_decay": "occ_decay",
+        "occ_ray_tile": "occ_ray_tile",
     }
 
 

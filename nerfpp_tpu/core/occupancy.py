@@ -121,3 +121,39 @@ def ray_bin_weights(grid: OccupancyGrid, rays_o: jnp.ndarray,
     pdf = d / jnp.maximum(jnp.sum(d, axis=-1, keepdims=True), 1e-8)
     w = (1.0 - uniform_frac) * pdf + uniform_frac / n_bins
     return edges, w
+
+
+def tiled_ray_z(grid: OccupancyGrid, rays_o: jnp.ndarray,
+                rays_d: jnp.ndarray, near: jnp.ndarray, far: jnp.ndarray,
+                bounding_box, n_bins: int, n_samples: int,
+                uniform_frac: float = 0.1, tile: int = 128,
+                det: bool = True, key=None) -> jnp.ndarray:
+    """Occupancy-guided z-values SHARED per consecutive ``tile`` rays.
+
+    With tile-coherent batches (8x16 pixel tiles), the per-ray occupancy
+    priors within a tile are near-identical — but per-RAY inverse CDFs give
+    each ray a different depth at the same sample index, which decoheres the
+    blocked kernel's point groups at a trained state (~35% throughput loss
+    measured). Averaging the prior over each 128-ray tile and inverting ONE
+    CDF per tile makes every ray in a group sample the same depths: groups
+    are laterally compact at every level, and the inverse-CDF cost drops by
+    the tile factor. The depth range is the tile's [min near, max far];
+    samples a ray contributes outside its own AABB segment are zeroed by the
+    renderer's keep_mask as usual.
+
+    Returns z_vals [R, n_samples], sorted per ray.
+    """
+    from nerfpp_tpu.core.sampling import sample_pdf
+    r = rays_o.shape[0]
+    nt = r // tile
+    near_t = near.reshape(nt, tile).min(axis=1, keepdims=True)   # [T, 1]
+    far_t = far.reshape(nt, tile).max(axis=1, keepdims=True)
+    edges_r, w_r = ray_bin_weights(
+        grid, rays_o, rays_d,
+        jnp.repeat(near_t, tile, axis=0), jnp.repeat(far_t, tile, axis=0),
+        bounding_box, n_bins, uniform_frac)
+    # shared per-tile prior: average the rays' bin weights (identical edges)
+    edges_t = edges_r.reshape(nt, tile, -1)[:, 0, :]             # [T, M+1]
+    w_t = w_r.reshape(nt, tile, -1).mean(axis=1)                 # [T, M]
+    z_t = sample_pdf(edges_t, w_t, n_samples, det=det, key=key)  # [T, S]
+    return jnp.repeat(z_t, tile, axis=0)                         # [R, S]

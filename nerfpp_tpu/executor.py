@@ -276,7 +276,8 @@ class NeRFExecutor:
             tile_order=self._sample_major(),
             n_occ_bins=(self.params.occ_n_bins
                         if self.params.use_occupancy_grid else 0),
-            occ_uniform_frac=self.params.occ_uniform_frac)
+            occ_uniform_frac=self.params.occ_uniform_frac,
+            occ_ray_tile=self.params.occ_ray_tile)
 
     # ---------------------------------------------------------- train step
 

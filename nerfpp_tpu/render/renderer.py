@@ -68,6 +68,10 @@ class RenderConfig:
     # the uniform blend that keeps empty space lightly supervised
     n_occ_bins: int = 0
     occ_uniform_frac: float = 0.1
+    # share one occupancy CDF per this many consecutive rays (0 = per-ray):
+    # with tile-coherent batches this keeps encode groups depth-aligned
+    # (occupancy.tiled_ray_z) and divides the inverse-CDF cost by the tile
+    occ_ray_tile: int = 0
 
 
 class RenderResult(NamedTuple):
@@ -132,6 +136,22 @@ def make_nerf_integrate_fn(cfg: "RenderConfig"):
     return integrate_fn
 
 
+def _occ_bins_or_z(occupancy, rays_o, rays_d, near, far, bounding_box,
+                   cfg: "RenderConfig", key):
+    """Occupancy prior for one ray batch: tile-shared z-values when the
+    batch divides into occ_ray_tile groups, else per-ray (edges, weights)."""
+    from nerfpp_tpu.core.occupancy import ray_bin_weights, tiled_ray_z
+    tile = cfg.occ_ray_tile
+    if tile > 0 and rays_o.shape[0] % tile == 0:
+        return tiled_ray_z(
+            occupancy, rays_o, rays_d, near[..., 0], far[..., 0],
+            bounding_box, cfg.n_occ_bins, cfg.n_samples,
+            cfg.occ_uniform_frac, tile, det=(cfg.perturb == 0.0),
+            key=jax.random.fold_in(key, 0x0CC))
+    return ray_bin_weights(occupancy, rays_o, rays_d, near, far,
+                           bounding_box, cfg.n_occ_bins, cfg.occ_uniform_frac)
+
+
 def render_rays(params: dict,
                 network_fn: Callable, integrate_fn: Callable,
                 rays_o: jnp.ndarray, rays_d: jnp.ndarray,
@@ -153,7 +173,10 @@ def render_rays(params: dict,
     k_strat, k_cone1, k_pdf, k_sp, k_cone2, k_noise1, k_noise2 = \
         jax.random.split(key, 7)
 
-    if occ_bins is not None:
+    if occ_bins is not None and not isinstance(occ_bins, tuple):
+        # pre-computed occupancy-guided depths (tile-shared CDF path)
+        z_vals = occ_bins
+    elif occ_bins is not None:
         # occupancy-guided coarse depths: inverse-CDF over the grid prior
         # (uniform grid => exactly the uniform z-values of the branch below)
         edges, w = occ_bins
@@ -234,11 +257,8 @@ def render_ray_batch(params: dict, network_fn, integrate_fn,
         if cfg.ndc:
             raise ValueError("occupancy-guided sampling is incompatible with "
                              "NDC rays (the grid lives in world space)")
-        from nerfpp_tpu.core.occupancy import ray_bin_weights
-        occ_bins = ray_bin_weights(occupancy, rays_o, rays_d,
-                                   near[:, None], far[:, None],
-                                   bounding_box, cfg.n_occ_bins,
-                                   cfg.occ_uniform_frac)
+        occ_bins = _occ_bins_or_z(occupancy, rays_o, rays_d, near[:, None],
+                                  far[:, None], bounding_box, cfg, key)
     return render_rays(
         params, network_fn, integrate_fn, rays_o, rays_d,
         near[:, None], far[:, None], viewdirs,
@@ -316,10 +336,8 @@ def render_image(params: dict, network_fn, integrate_fn,
         ro, rd, nr, fr, vd, kk = args
         occ_bins = None
         if occupancy is not None and cfg.n_occ_bins > 0:
-            from nerfpp_tpu.core.occupancy import ray_bin_weights
-            occ_bins = ray_bin_weights(occupancy, ro, rd, nr, fr,
-                                       bounding_box, cfg.n_occ_bins,
-                                       cfg.occ_uniform_frac)
+            occ_bins = _occ_bins_or_z(occupancy, ro, rd, nr, fr,
+                                      bounding_box, cfg, kk)
         res = render_rays(params, network_fn, integrate_fn,
                           ro, rd, nr, fr, vd if has_viewdirs else None,
                           None if cfg.thin_ray else cone_angle, kk, cfg,

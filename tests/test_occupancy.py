@@ -104,3 +104,64 @@ def test_executor_trains_and_checkpoints_with_occupancy(tmp_path):
     ex2 = NeRFExecutor(p2)
     ex2.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
     np.testing.assert_allclose(np.asarray(ex2.state["occupancy"].density), d)
+
+
+def test_tiled_ray_z_uniform_grid_is_uniform():
+    """Tile-shared occupancy z on a fresh grid = linspace over the tile's
+    [min near, max far]; sorted; identical within a tile."""
+    from nerfpp_tpu.core.occupancy import tiled_ray_z
+    grid = make_occupancy_grid(16)
+    n, tile = 256, 128
+    rng = np.random.RandomState(0)
+    rays_o = jnp.asarray(np.tile([[0.0, 0.0, 2.0]], (n, 1)), jnp.float32)
+    d = np.tile([[0.0, 0.0, -1.0]], (n, 1)) + rng.uniform(-0.01, 0.01, (n, 3))
+    rays_d = jnp.asarray(d, jnp.float32)
+    near = jnp.asarray(1.0 + rng.uniform(0, 0.05, n), jnp.float32)
+    far = jnp.asarray(3.0 - rng.uniform(0, 0.05, n), jnp.float32)
+    z = np.asarray(tiled_ray_z(grid, rays_o, rays_d, near, far, BBOX,
+                               n_bins=32, n_samples=16, tile=tile))
+    assert z.shape == (n, 16)
+    # identical across the tile, spanning the tile's min-near..max-far
+    assert np.abs(z[:128] - z[0]).max() == 0.0
+    assert np.abs(z[128:] - z[128]).max() == 0.0
+    np.testing.assert_allclose(z[0, 0], float(near[:128].min()), atol=1e-3)
+    np.testing.assert_allclose(z[0, -1], float(far[:128].max()), atol=1e-3)
+    assert (np.diff(z, axis=-1) >= 0).all()
+
+
+def test_render_config_tiled_occ_end_to_end():
+    """Renderer consumes the tile-shared z path (occ_ray_tile=128) and
+    produces finite images that roughly match the per-ray path."""
+    import dataclasses
+    from nerfpp_tpu.render.renderer import (RenderConfig,
+                                            make_nerf_integrate_fn,
+                                            render_ray_batch)
+
+    def toy_network(params, pts, viewdirs):
+        d = jnp.linalg.norm(pts, axis=-1)
+        sigma = jnp.where(d < 0.5, 50.0, 0.0)
+        rgb = jnp.stack([jnp.full_like(sigma, 5.0)] * 3, -1)
+        return jnp.concatenate([rgb, sigma[..., None]], -1)
+
+    grid = make_occupancy_grid(32)
+    grid = update_grid(grid, _sphere_sigma, {}, BBOX, jax.random.PRNGKey(0),
+                       decay=0.0)
+    n = 256
+    rng = np.random.RandomState(1)
+    rays_o = jnp.asarray(np.tile([[0.0, 0.0, 2.0]], (n, 1)), jnp.float32)
+    d = np.tile([[0.0, 0.0, -1.0]], (n, 1)) + rng.uniform(-0.02, 0.02, (n, 3))
+    rays_d = jnp.asarray(d, jnp.float32)
+    cfg = RenderConfig(n_samples=32, n_importance=0, chunk=256,
+                       use_viewdirs=False, thin_ray=True, n_occ_bins=32,
+                       occ_ray_tile=128)
+    cfg_perray = dataclasses.replace(cfg, occ_ray_tile=0)
+    integ = make_nerf_integrate_fn(cfg)
+    bb = jnp.asarray(BBOX)
+    r1 = render_ray_batch({}, toy_network, integ, rays_o, rays_d, 0.0,
+                          jax.random.PRNGKey(0), cfg, bb, occupancy=grid)
+    r2 = render_ray_batch({}, toy_network, integ, rays_o, rays_d, 0.0,
+                          jax.random.PRNGKey(0), cfg_perray, bb,
+                          occupancy=grid)
+    a, b = np.asarray(r1.outputs.rgb), np.asarray(r2.outputs.rgb)
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a, b, atol=0.05)  # same scene, near-same z
