@@ -148,12 +148,16 @@ def tiled_ray_z(grid: OccupancyGrid, rays_o: jnp.ndarray,
     nt = r // tile
     near_t = near.reshape(nt, tile).min(axis=1, keepdims=True)   # [T, 1]
     far_t = far.reshape(nt, tile).max(axis=1, keepdims=True)
-    edges_r, w_r = ray_bin_weights(
+    # probe the grid along EVERY ray of the tile. (Probing a subset is
+    # tempting — the prior is averaged anyway — but measurably loses ~9 dB
+    # even at 32 spread probes: thin structures intersected by only a few of
+    # the tile's rays drop out of the subsampled mean, and rays through them
+    # then only ever get the 10% uniform floor of samples.)
+    edges_s, w_s = ray_bin_weights(
         grid, rays_o, rays_d,
         jnp.repeat(near_t, tile, axis=0), jnp.repeat(far_t, tile, axis=0),
         bounding_box, n_bins, uniform_frac)
-    # shared per-tile prior: average the rays' bin weights (identical edges)
-    edges_t = edges_r.reshape(nt, tile, -1)[:, 0, :]             # [T, M+1]
-    w_t = w_r.reshape(nt, tile, -1).mean(axis=1)                 # [T, M]
+    edges_t = edges_s.reshape(nt, tile, -1)[:, 0, :]             # [T, M+1]
+    w_t = w_s.reshape(nt, tile, -1).mean(axis=1)                 # [T, M]
     z_t = sample_pdf(edges_t, w_t, n_samples, det=det, key=key)  # [T, S]
     return jnp.repeat(z_t, tile, axis=0)                         # [R, S]
