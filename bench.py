@@ -186,7 +186,7 @@ def main() -> None:
         pc = classic_nerf_preset(n_importance=64,
                                  density_activation="trunc_exp",
                                  mlp_init_gain=1.0)
-        tpc = TrainParams(n_samples=64, n_rand=4096, n_iters=800, chunk=2048,
+        tpc = TrainParams(n_samples=64, n_rand=4096, n_iters=800, chunk=4096,
                           i_print=0, i_weights=0, i_testset=0,
                           base_dir="/tmp/nerfpp_bench_classic")
         exc = NeRFExecutor(pc)
