@@ -251,15 +251,20 @@ def _make_fwd_kernel(n_levels: int, s_rows: int, groups: int,
             win = tab_ref[pl.ds(ws, 8), :]
             rr, lanes, w = rr_g[gi], lanes_g[gi], w_g[gi]
             hitf = (mq_g[gi] == m).astype(jnp.float32)
+            # all 8 corners share the query's row rr, and the rr-select is
+            # linear: accumulate the weighted corner values per SUBLANE first
+            # (8 lane-gathers), then ONE sublane gather per feature — instead
+            # of 8 lane + 8 sublane gathers
             p0, p1 = [], []
             for c in range(8):
                 gat = jnp.take_along_axis(win, lanes[c], axis=1)
-                gat = jnp.take_along_axis(gat, rr, axis=0)
                 v0 = pltpu.bitcast(gat & jnp.uint32(0xFFFF0000), jnp.float32)
                 v1 = pltpu.bitcast(gat << 16, jnp.float32)
                 p0.append(w[c] * v0)
                 p1.append(w[c] * v1)
-            return hitf * _tree_sum(p0), hitf * _tree_sum(p1)
+            a0 = jnp.take_along_axis(_tree_sum(p0), rr, axis=0)
+            a1 = jnp.take_along_axis(_tree_sum(p1), rr, axis=0)
+            return hitf * a0, hitf * a1
 
         # Window 0 (first unique id) always exists for every group: unrolled,
         # written straight to the output block. A fori_loop entry costs
