@@ -148,10 +148,14 @@ def main() -> None:
     # ---- render throughput (800x800 full frame, tile-ordered) -------------
     tr = TrainParams(n_samples=64, n_rand=4096, chunk=65536)
     out = exq.render_view(v.pose, v.h, v.w, v.k, tr)   # compile
-    t0 = time.perf_counter()
-    out = exq.render_view(v.pose, v.h, v.w, v.k, tr)
     np.asarray(out["nerf"].rgb)
-    mpix_s = v.h * v.w / (time.perf_counter() - t0) / 1e6
+    best = float("inf")
+    for _ in range(2):  # min-of-2: tunnel queue noise dominates single shots
+        t0 = time.perf_counter()
+        out = exq.render_view(v.pose, v.h, v.w, v.k, tr)
+        np.asarray(out["nerf"].rgb)
+        best = min(best, time.perf_counter() - t0)
+    mpix_s = v.h * v.w / best / 1e6
     extras["render_mpix_per_sec"] = round(mpix_s, 3)
     print(f"render 800x800: {mpix_s:.3f} Mpix/s", file=sys.stderr)
 
