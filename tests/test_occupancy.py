@@ -165,3 +165,31 @@ def test_render_config_tiled_occ_end_to_end():
     a, b = np.asarray(r1.outputs.rgb), np.asarray(r2.outputs.rgb)
     assert np.isfinite(a).all()
     np.testing.assert_allclose(a, b, atol=0.05)  # same scene, near-same z
+
+
+def test_flagship_combination_end_to_end(tmp_path):
+    """The bench flagship path in miniature: blocked scheme + Pallas kernels
+    (interpret mode on CPU) + occupancy-guided coarse-only sampling +
+    tile-coherent batches + sample-major ordering + tiled CDFs."""
+    from nerfpp_tpu.config import hashnerf_blocked_preset, TrainParams
+    from nerfpp_tpu.data.synthetic import make_synthetic_scene
+    from nerfpp_tpu.executor import NeRFExecutor
+
+    scene = make_synthetic_scene(n_train=2, n_val=1, n_test=1, image_hw=24)
+    p = hashnerf_blocked_preset(
+        n_importance=0, log2_hashmap_size=12, n_levels=4,
+        finest_resolution=64, use_occupancy_grid=True,
+        occ_grid_resolution=16, occ_update_every=2, occ_n_bins=8)
+    tp = TrainParams(n_samples=16, n_rand=256, n_iters=4, chunk=256,
+                     i_print=0, i_weights=0, i_testset=0, i_img=0,
+                     base_dir=str(tmp_path), tile_h=8, tile_w=16,
+                     steps_per_call=2)
+    ex = NeRFExecutor(p)
+    ex.white_bkgr = scene.white_bkgr
+    ex.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+    assert ex._sample_major()            # blocked + pallas active
+    m = ex.train(scene, tp)
+    assert np.isfinite(m["loss"])
+    v = scene.views[0]
+    out = ex.render_view(v.pose, v.h, v.w, v.k, tp)
+    assert np.isfinite(np.asarray(out["nerf"].rgb)).all()
