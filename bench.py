@@ -180,6 +180,9 @@ def main() -> None:
         _sync(jax, mr)
         ref_rps = tpr.n_rand / ((time.perf_counter() - t0) / 5)
         extras["reference_workload_rays_per_sec"] = round(ref_rps)
+        extras["reference_workload_note"] = (
+            "hierarchical 64+192, no occupancy; measured at an"
+            " annealed-noise step counter on init params")
         print(f"reference workload (16384 x 64+192): {ref_rps:,.0f} rays/s",
               file=sys.stderr)
     except Exception as e:  # secondary metric must not sink the bench
