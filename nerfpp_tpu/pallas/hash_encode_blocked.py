@@ -447,12 +447,16 @@ def _make_bwd_kernel(n_levels: int, s_rows: int, groups: int,
             ws = (m << 3) & (s_rows - 1)
             hit = mq_g[gi] == m
             arow = jnp.where(hit & (rr_g[gi] == iota_sub), 1.0, 0.0)
-            for f in range(2):                               # [8 rows, 128 q]
-                lhs = (arow * g_g[gi][f]).astype(jnp.bfloat16)
-                dw = jax.lax.dot_general(
-                    lhs, p_g[gi], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)      # [8, 128]
-                out_ref[0, f, pl.ds(ws, 8), :] += dw
+            # both features ride ONE [16, 128q] x [128q, 128lane] matmul:
+            # rows 0-7 select f0's window rows, 8-15 f1's
+            lhs = jnp.concatenate(
+                [(arow * g_g[gi][0]).astype(jnp.bfloat16),
+                 (arow * g_g[gi][1]).astype(jnp.bfloat16)], axis=0)
+            dw = jax.lax.dot_general(
+                lhs, p_g[gi], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [16, 128]
+            out_ref[0, 0, pl.ds(ws, 8), :] += dw[0:8]
+            out_ref[0, 1, pl.ds(ws, 8), :] += dw[8:16]
 
         # same ONE-loop-per-(level, group-block) shape as the forward:
         # window 0 unrolled, sentinel/foreign ids self-masked by the hit test
