@@ -23,6 +23,7 @@ extras/stderr.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -48,9 +49,13 @@ def main() -> None:
     t_bench0 = time.perf_counter()
 
     t0 = time.perf_counter()
-    cache = "/tmp/nerfpp_bench_scene_800_v1.npz"
+    # per-user cache dir; plain ndarrays only, so no pickle (a world-readable
+    # /tmp pickle would be an arbitrary-code-exec vector on shared hosts)
+    cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "nerfpp_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    cache = os.path.join(cache_dir, "bench_scene_800_v1.npz")
     try:
-        d = np.load(cache, allow_pickle=True)
+        d = np.load(cache, allow_pickle=False)
         scene = make_synthetic_scene(n_train=16, n_val=1, n_test=1,
                                      image_hw=8, n_samples=2,
                                      white_bkgr=False)
@@ -60,7 +65,7 @@ def main() -> None:
             v.h, v.w = int(hw[0]), int(hw[1])
             v.k, v.pose = kk, pose
         print("scene cache hit", file=sys.stderr)
-    except Exception:
+    except (FileNotFoundError, OSError, KeyError, ValueError, AssertionError):
         scene = make_synthetic_scene(n_train=16, n_val=1, n_test=1,
                                      image_hw=800, white_bkgr=False,
                                      n_samples=64)

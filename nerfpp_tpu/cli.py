@@ -52,10 +52,13 @@ def _load_scene(args):
 
     if args.dataset_type == "blender":
         return load_blender_data(args.data_dir, half_res=args.half_res,
-                                 testskip=args.test_skip)
+                                 testskip=args.test_skip,
+                                 white_bkgr=args.white_bkgr)
     if args.dataset_type == "colmap":
         from nerfpp_tpu.data.colmap import load_from_colmap_reconstruction
-        return load_from_colmap_reconstruction(args.data_dir)
+        scene = load_from_colmap_reconstruction(args.data_dir)
+        scene.white_bkgr = args.white_bkgr
+        return scene
     if args.dataset_type == "synthetic":
         return make_synthetic_scene(white_bkgr=args.white_bkgr)
     raise SystemExit(f"unknown dataset type {args.dataset_type}")

@@ -92,6 +92,9 @@ class ExecutorParams:
     pyr_embedder_overlap: float = 0.75
     ft_path: str = ""
     path_to_clip: str = ""
+    # JSON-interchange parity only (reference's RuCLIPProcessor BPE vocab,
+    # NeRFExecutor.h:581-595): HF CLIPProcessor bundles its tokenizer, so
+    # this path is accepted/saved but never read by the runtime
     path_to_bpe: str = ""
     lerf_positives: str = ""
     lerf_negatives: List[str] = dataclasses.field(default_factory=list)

@@ -52,16 +52,21 @@ def get_bbox3d_for_obj(scene: SceneData) -> np.ndarray:
 
 
 def load_blender_data(basedir, near: float = 0.0, far: float = 0.0,
-                      half_res: bool = False, testskip: bool = True) -> SceneData:
+                      half_res: bool = False, testskip: bool = True,
+                      white_bkgr: bool = False) -> SceneData:
     """Parse transforms_{train,val,test}.json into a SceneData.
 
-    Image sizes are read from the first image of each split (all frames in a
-    Blender export share them). With half_res, H/W/focal are halved and the
-    sampler resizes at decode time.
+    Image sizes are read by decoding the FIRST image of each split only (all
+    frames in a Blender export share them — decoding every frame just for
+    dimensions cost O(dataset) before training). With half_res, H/W/focal are
+    halved and the sampler resizes at decode time. ``white_bkgr`` is recorded
+    on the scene so RGBA frames composite onto white downstream (the Blender
+    synthetic convention; reference NeRFDatasetParams.h:106 carried into
+    compositing at NeRFRenderer.h:276-277).
     """
     import cv2
     basedir = Path(basedir)
-    scene = SceneData()
+    scene = SceneData(white_bkgr=white_bkgr)
     for i_split, split in enumerate(scene.splits):
         if testskip and split == "test":
             continue
@@ -70,12 +75,15 @@ def load_blender_data(basedir, near: float = 0.0, far: float = 0.0,
             continue
         data = json.loads(path.read_text())
         camera_angle_x = float(data["camera_angle_x"])
+        split_hw = None
         for frame in data["frames"]:
             img_path = basedir / (frame["file_path"] + ".png")
-            img = cv2.imread(str(img_path), cv2.IMREAD_UNCHANGED)
-            if img is None:
-                raise FileNotFoundError(img_path)
-            h, w = img.shape[:2]
+            if split_hw is None:
+                img = cv2.imread(str(img_path), cv2.IMREAD_UNCHANGED)
+                if img is None:
+                    raise FileNotFoundError(img_path)
+                split_hw = img.shape[:2]
+            h, w = split_hw
             focal = 0.5 * w / np.tan(0.5 * camera_angle_x)
             if half_res:
                 h, w, focal = h // 2, w // 2, focal / 2

@@ -301,17 +301,22 @@ def compute_near_far_for_image(image: ColmapImage,
                                rec: ColmapReconstruction,
                                near_percentile: float = 0.01,
                                far_percentile: float = 0.99,
-                               reference_quirk: bool = False) -> Tuple[float, float]:
+                               reference_quirk: bool = False,
+                               id_to_row: Optional[dict] = None
+                               ) -> Tuple[float, float]:
     """Percentile distances to the image's visible 3D points
     (ComputeNearFarForImage, ColmapReconstruction.cpp:224-254).
 
     reference_quirk=True reproduces the reference's measurement origin (the
     w2c translation vector); the default measures from the true camera center.
+    ``id_to_row``: pre-built {point3d_id: row} index — pass it when calling
+    per-image over a reconstruction to avoid O(images x points) dict churn.
     """
     valid = image.point3d_ids >= 0
     if not valid.any():
         return 0.0, 0.0
-    id_to_row = {pid: i for i, pid in enumerate(rec.points_ids)}
+    if id_to_row is None:
+        id_to_row = {pid: i for i, pid in enumerate(rec.points_ids)}
     rows = [id_to_row[pid] for pid in image.point3d_ids[valid]
             if pid in id_to_row]
     if not rows:
@@ -385,10 +390,11 @@ def load_from_colmap_reconstruction(workspace, image_path: Optional[str] = None,
 
     scene = SceneData()
     needs_undistort = False
+    id_to_row = {pid: i for i, pid in enumerate(rec.points_ids)}
     for iid in sorted(rec.images.keys()):
         im = rec.images[iid]
         cam = rec.cameras[im.camera_id]
-        near, far = compute_near_far_for_image(im, rec)
+        near, far = compute_near_far_for_image(im, rec, id_to_row=id_to_row)
         dist = cam.distortion()
         if dist is not None and np.any(dist):
             needs_undistort = True

@@ -288,10 +288,18 @@ class RayBatchSampler:
             if n_tiles * th * tw != self.batch_size:
                 raise ValueError(f"batch_size {self.batch_size} must divide "
                                  f"by tile {th}x{tw}")
+            if self.h < th or self.w < tw:
+                raise ValueError(f"image {self.h}x{self.w} smaller than "
+                                 f"tile {th}x{tw}")
+            # span may go non-positive when precrop shrinks the rectangle
+            # below the tile; clamp to 1 (single origin at h0/w0) and keep
+            # the tile inside the image so no pixel is sampled out of range
             oy = h0 + (jax.random.uniform(kh, (n_tiles,))
-                       * (h1 - h0 - th + 1)).astype(jnp.int32)
+                       * jnp.maximum(h1 - h0 - th + 1, 1)).astype(jnp.int32)
             ox = w0 + (jax.random.uniform(kw, (n_tiles,))
-                       * (w1 - w0 - tw + 1)).astype(jnp.int32)
+                       * jnp.maximum(w1 - w0 - tw + 1, 1)).astype(jnp.int32)
+            oy = jnp.minimum(oy, self.h - th)
+            ox = jnp.minimum(ox, self.w - tw)
             dy = jnp.arange(th, dtype=jnp.int32)
             dx = jnp.arange(tw, dtype=jnp.int32)
             rand_h = (oy[:, None, None] + dy[None, :, None]

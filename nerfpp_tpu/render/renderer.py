@@ -307,8 +307,16 @@ def render_image(params: dict, network_fn, integrate_fn,
         viewdirs = flatten_pixels(viewdirs)
 
     if cfg.ndc:
+        if occupancy is not None and cfg.n_occ_bins > 0:
+            # same guard render_ray_batch raises: the density grid lives in
+            # world space, so sampling it with NDC coordinates is meaningless
+            raise ValueError("occupancy-guided sampling is incompatible with "
+                             "NDC rays (the grid lives in world space)")
+        # NDC projection must use the TRUE image dims: ndc_rays scales by
+        # w/h, and tile padding only appends extra pixels whose per-pixel
+        # directions (from intrinsics) are unaffected by the pad.
         rays_o, rays_d, cone_angle = ray_math.ndc_rays(
-            hp, wp, float(k[0, 0]), 1.0, rays_o, rays_d,
+            h, w, float(k[0, 0]), 1.0, rays_o, rays_d,
             None if cfg.thin_ray else cone_angle)
 
     rays_o = flatten_pixels(rays_o)

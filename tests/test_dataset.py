@@ -139,6 +139,30 @@ def test_sampler_tile_mode_precrop():
     assert np.isfinite(np.asarray(b["target_rgb"])).all()
 
 
+def test_sampler_tile_smaller_precrop_window_stays_in_image():
+    """Precrop window smaller than a tile: origins clamp so every sampled
+    pixel stays inside the IMAGE (round-2 advisor finding: the negative span
+    used to push origins below the crop and rely on gather clamping)."""
+    h = w = 16
+    # encode pixel coords in the image so targets reveal what was sampled
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = np.stack([yy / h, xx / w, np.zeros_like(yy)], -1).astype(np.float32)
+    s = RayBatchSampler(
+        images=jnp.asarray(img[None]), poses=jnp.eye(4)[None],
+        intrinsics=jnp.asarray(np.array(
+            [[8.0, 0, 8], [0, 8.0, 8], [0, 0, 1]], np.float32))[None],
+        h=h, w=w, batch_size=128, precrop_iters=5, precrop_frac=0.2,
+        tile_h=8, tile_w=16)
+    b = s.sample(jax.random.PRNGKey(0), jnp.int32(0))  # crop is 2x2 < tile
+    ys = np.asarray(b["target_rgb"][:, 0]) * h
+    xs = np.asarray(b["target_rgb"][:, 1]) * w
+    assert ys.min() >= 0 and ys.max() <= h - 1
+    assert xs.min() >= 0 and xs.max() <= w - 1
+    # the 128 pixels are one full 8x16 tile: all distinct coordinates
+    coords = {(int(round(y)), int(round(x))) for y, x in zip(ys, xs)}
+    assert len(coords) == 128
+
+
 def test_sampler_per_view_sizes_scaled_intrinsics():
     """Scenes with per-view image sizes (COLMAP multi-camera): from_scene
     resizes to view 0's size and scales each view's K so rays stay correct."""

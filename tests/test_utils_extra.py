@@ -22,6 +22,24 @@ def test_metrics_writer_csv_and_images(tmp_path):
     assert (tmp_path / "images" / "val_00000010.png").exists()
 
 
+def test_metrics_writer_widens_header_for_late_keys(tmp_path):
+    """Keys appearing after the first row (e.g. psnr once eval first runs)
+    must widen the CSV header, not be silently dropped (round-2 weak #8)."""
+    w = MetricsWriter(tmp_path)
+    w.write_scalars(10, {"loss": 0.5})
+    w.write_scalars(20, {"loss": 0.4, "psnr": 21.0})
+    rows = list(csv.DictReader(open(tmp_path / "metrics.csv")))
+    assert rows[0]["psnr"] == ""           # back-filled blank
+    assert float(rows[1]["psnr"]) == 21.0
+    # resumed run adopts the existing header and may widen it again
+    w2 = MetricsWriter(tmp_path)
+    w2.write_scalars(30, {"loss": 0.3, "rays_per_sec": 1e5})
+    rows = list(csv.DictReader(open(tmp_path / "metrics.csv")))
+    assert len(rows) == 3
+    assert float(rows[2]["rays_per_sec"]) == 1e5
+    assert float(rows[1]["psnr"]) == 21.0  # survived the rewrite
+
+
 def test_step_timer():
     t = StepTimer(rays_per_step=1000)
     t.tick()
