@@ -49,9 +49,18 @@ def shard_rays(batch: dict, mesh: Optional[Mesh]) -> dict:
     if mesh is None:
         return batch
     sh = batch_sharding(mesh)
+    n = mesh.devices.size
     out = {}
     for k, v in batch.items():
         if hasattr(v, "ndim") and v.ndim >= 1:
+            if v.shape[0] % n:
+                # fail loudly at trace time: uneven row sharding would leave
+                # ragged per-device batches (CLI pre-checks NRand; this guards
+                # every other entry point with the same clear message)
+                raise ValueError(
+                    f"batch array '{k}' has leading dim {v.shape[0]}, not "
+                    f"divisible by the {n}-device data-parallel mesh; pick "
+                    f"NRand as a multiple of the device count")
             out[k] = jax.lax.with_sharding_constraint(v, sh)
         else:
             out[k] = v

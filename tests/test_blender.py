@@ -93,6 +93,72 @@ def test_blender_white_bkgr_compositing(tmp_path):
     assert scene_w.to_json()["WhiteBgr"] is True
 
 
+def _make_golden_blender_export(tmp_path, hw=32, n_train=6, n_val=1):
+    """A tiny REAL blender-format export (transforms_*.json + PNG frames)
+    whose images are ground-truth renders of the procedural synthetic field —
+    the loader-to-training seam an eventual lego run will cross."""
+    import cv2
+    import jax.numpy as jnp
+    from nerfpp_tpu.data.synthetic import render_gt_rays
+
+    radius = 3.0
+    focal = 1.1 * hw
+    camera_angle_x = float(2.0 * np.arctan(0.5 * hw / focal))
+    k = R.calibration_matrix(focal, hw, hw)
+    near, far = 0.5 * radius, 1.5 * radius
+    i = 0
+    for split, count in [("train", n_train), ("val", n_val)]:
+        frames = []
+        (tmp_path / split).mkdir(exist_ok=True)
+        for j in range(count):
+            pose = R.pose_spherical(-180 + (i * 360.0 / (n_train + n_val)),
+                                    -25.0, radius)
+            rays_o, rays_d, _ = R.get_rays(hw, hw, jnp.asarray(k),
+                                           jnp.asarray(pose))
+            img = np.asarray(render_gt_rays(rays_o, rays_d, near, far,
+                                            n_samples=192, white_bkgr=True))
+            img8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+            cv2.imwrite(str(tmp_path / f"{split}/r_{j}.png"), img8[..., ::-1])
+            frames.append({"file_path": f"./{split}/r_{j}",
+                           "transform_matrix": np.asarray(pose).tolist()})
+            i += 1
+        (tmp_path / f"transforms_{split}.json").write_text(
+            json.dumps({"camera_angle_x": camera_angle_x, "frames": frames}))
+
+
+def test_blender_golden_end_to_end_cli_train(tmp_path, monkeypatch):
+    """Golden path: CLI `train --dataset-type blender` on a generated export
+    must reach a PSNR floor — crosses loader -> sampler -> training exactly
+    as a real lego run will (round-2 VERDICT missing #2; reference analog
+    load_blender.h:127-198 feeding NeRFExecutor::Train)."""
+    import csv as _csv
+    import sys
+    from nerfpp_tpu import cli
+
+    data_dir = tmp_path / "export"
+    data_dir.mkdir()
+    _make_golden_blender_export(data_dir)
+    out_dir = tmp_path / "out"
+    argv = ["cli", "train", "--dataset-type", "blender",
+            "--data-dir", str(data_dir), "--preset", "hashnerf",
+            "--set", "n_importance=8", "--set", "log2_hashmap_size=12",
+            "--set", "n_levels=4", "--set", "finest_resolution=64",
+            "--set", "density_activation=trunc_exp",
+            "--set-train", "NIters=150", "--set-train", "NRand=256",
+            "--set-train", "NSamples=16", "--set-train", "Chunk=256",
+            "--set-train", "IPrint=50", "--set-train", "IWeights=0",
+            "--set-train", "ITestset=0", "--set-train", "IImg=0",
+            "--base-dir", str(out_dir)]
+    monkeypatch.setattr(sys, "argv", argv)
+    cli.main()
+    rows = list(_csv.DictReader(open(out_dir / "metrics.csv")))
+    assert rows, "training wrote no metrics"
+    psnr = max(float(r["psnr"]) for r in rows if r.get("psnr"))
+    assert psnr >= 12.0, f"golden blender train PSNR {psnr:.2f} < 12 dB"
+    # configs saved like main.cpp:257-259, with the scene JSON round-trip
+    assert (out_dir / "data.json").exists()
+
+
 def test_blender_cli_white_bkgr_passthrough(tmp_path):
     """CLI --white-bkgr reaches the blender scene (round-2 VERDICT weak #5)."""
     from nerfpp_tpu.cli import build_parser, _load_scene

@@ -67,9 +67,20 @@ def test_dp_train_step_matches_single_device():
     np.testing.assert_allclose(w1, w2, atol=1e-6)
 
 
-def test_dryrun_multichip_entrypoint():
+@pytest.mark.parametrize("n", [2, 4, 8])
+def test_dryrun_multichip_entrypoint(n):
+    """The driver's multi-chip dryrun must hold for sub-meshes too, so the
+    DP surface is robust before real multi-chip hardware shows up."""
     import __graft_entry__ as g
-    g.dryrun_multichip(8)
+    g.dryrun_multichip(n)
+
+
+def test_dp_uneven_nrand_raises():
+    """A ray batch whose leading dim doesn't divide the mesh must fail with
+    an actionable message, not shard raggedly."""
+    mesh = mesh_utils.make_mesh()
+    with pytest.raises(ValueError, match="multiple of the device count"):
+        mesh_utils.shard_rays({"rays_o": jnp.zeros((60, 3))}, mesh)
 
 
 def test_cli_train_data_parallel_end_to_end(tmp_path, monkeypatch):
