@@ -77,7 +77,8 @@ def main() -> None:
           file=sys.stderr)
     extras = {"device": str(dev), "hash_table_log2_size": 19,
               "config": ("blocked T=2^19 L=16, NRand 4096, 64 occupancy-"
-                         "guided samples (no hierarchical pass), tiles 8x16")}
+                         "guided samples (no hierarchical pass), tiles 8x16, "
+                         "tile budget 0.5/16 (empty tiles 16 samples)")}
 
     # ---- flagship: blocked T=2^19 + occupancy-guided coarse-only 64 -------
     # (measured best on BOTH axes: 32.5 dB @ 2100 steps vs 28.7 dB for the
@@ -147,49 +148,122 @@ def main() -> None:
     _sync(jax, m)
     dt = (time.perf_counter() - t0) / 100
     rays_per_sec = tp.n_rand / dt
+    extras["step_ms"] = round(dt * 1000, 2)
     print(f"flagship steady state (trained): {dt*1000:.1f} ms/step -> "
           f"{rays_per_sec:,.0f} rays/s", file=sys.stderr)
 
+    # ---- encode-kernel profile at flagship shape (VERDICT r2 #8) ----------
+    # fwd/bwd rates on a 524k-point tile-coherent batch + achieved fraction
+    # of the kernel's measured marginal-cost floor (44 ns/useful-window —
+    # PERFORMANCE.md cost model; the step is ~80% encode kernels)
+    try:
+        sys.path.insert(0, str(__import__("pathlib").Path(
+            __file__).resolve().parent / "scripts"))
+        from bench_blocked_kernel import tile_coherent_points
+        from nerfpp_tpu.encoders.hashgrid import HashGridEncoder
+        from nerfpp_tpu.pallas import hash_encode_blocked as HB
+        bb = np.array([-1.5, -1.5, -1.5, 1.5, 1.5, 1.5], np.float32)
+        enc_k = HashGridEncoder(bb, n_levels=16, log2_hashmap_size=19,
+                                base_resolution=16, finest_resolution=1024,
+                                scheme="blocked")
+        tab = enc_k.init(jax.random.PRNGKey(0))["table"]
+        kpts = tile_coherent_points(32, 128, jax.random.PRNGKey(1)).reshape(-1, 3)
+        gk = jax.random.normal(jax.random.PRNGKey(2),
+                               (kpts.shape[0], enc_k.output_dims))
+
+        @jax.jit
+        def fwd_loop(t, p, reps=8):
+            def body(c, _):
+                return c + 1e-6 * jnp.sum(
+                    HB.hash_encode_blocked(t, p + c * 1e-7, enc_k)), None
+            return jax.lax.scan(body, 0.0, None, length=reps)[0]
+
+        @jax.jit
+        def bwd_loop(g, p, reps=8):
+            def body(c, _):
+                return c + 1e-9 * jnp.sum(
+                    HB.hash_encode_blocked_bwd(g, p + c * 1e-7, enc_k)), None
+            return jax.lax.scan(body, 0.0, None, length=reps)[0]
+
+        prof = {}
+        for nm, fn, a in (("fwd", fwd_loop, tab), ("bwd", bwd_loop, gk)):
+            _sync(jax, fn(a, kpts))
+            t0 = time.perf_counter()
+            _sync(jax, fn(a, kpts))
+            d = (time.perf_counter() - t0) / 8
+            prof[nm] = kpts.shape[0] / d / 1e6
+        # useful-window floor on this batch (cost model: 44 ns/window + fixed)
+        prep = HB._prepare(kpts, enc_k)
+        wid_arr = np.asarray(prep[1]).reshape(-1, 128)
+        useful = int((wid_arr != 0x7FFFFFFF).sum(-1).sum())
+        floor_ms = useful * 44e-6
+        ach = (kpts.shape[0] / (prof["fwd"] * 1e6)) * 1e3   # measured ms
+        extras["encode_fwd_mpts_per_sec"] = round(prof["fwd"], 1)
+        extras["encode_bwd_mpts_per_sec"] = round(prof["bwd"], 1)
+        extras["kernel_window_floor_frac"] = round(floor_ms / ach, 3)
+        print(f"encode kernels: fwd {prof['fwd']:.1f} / bwd {prof['bwd']:.1f}"
+              f" M pts/s; window-floor fraction "
+              f"{extras['kernel_window_floor_frac']}", file=sys.stderr)
+    except Exception as e:  # profile must not sink the bench
+        print(f"kernel profile failed: {e}", file=sys.stderr)
+
     # ---- render throughput (800x800 full frame, tile-ordered) -------------
-    tr = TrainParams(n_samples=64, n_rand=4096, chunk=65536)
-    out = exq.render_view(v.pose, v.h, v.w, v.k, tr)   # compile
-    np.asarray(out["nerf"].rgb)
-    best = float("inf")
-    for _ in range(2):  # min-of-2: tunnel queue noise dominates single shots
-        t0 = time.perf_counter()
-        out = exq.render_view(v.pose, v.h, v.w, v.k, tr)
+    # default = budgeted b25/sp8 at full NSamples (measured -0.14 dB); the
+    # "fast" mode trades ~0.5 dB for ~2x (PERFORMANCE.md render table)
+    for tag, frac, sparse, n_s in (("render", 0.25, 8, 64),
+                                   ("render_fast", 0.25, 8, 32)):
+        exq.params.render_dense_frac = frac
+        exq.params.render_sparse_samples = sparse
+        exq._render_cache = {}
+        tr = TrainParams(n_samples=n_s, n_rand=4096, chunk=65536)
+        out = exq.render_view(v.pose, v.h, v.w, v.k, tr)   # compile
         np.asarray(out["nerf"].rgb)
-        best = min(best, time.perf_counter() - t0)
-    mpix_s = v.h * v.w / best / 1e6
-    extras["render_mpix_per_sec"] = round(mpix_s, 3)
-    print(f"render 800x800: {mpix_s:.3f} Mpix/s", file=sys.stderr)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: tunnel queue noise dominates
+            t0 = time.perf_counter()
+            out = exq.render_view(v.pose, v.h, v.w, v.k, tr)
+            rgbr = np.clip(np.asarray(out["nerf"].rgb), 0, 1)
+            best = min(best, time.perf_counter() - t0)
+        mpix_s = v.h * v.w / best / 1e6
+        p_r = float(-10 * np.log10(
+            max(float(np.mean((rgbr - gt) ** 2)), 1e-10)))
+        extras[f"{tag}_mpix_per_sec"] = round(mpix_s, 3)
+        extras[f"{tag}_psnr_db"] = round(p_r, 2)
+        print(f"{tag} 800x800: {mpix_s:.3f} Mpix/s at {p_r:.2f} dB",
+              file=sys.stderr)
 
     # ---- reference workload: NRand 16384, 64+192 (main.cpp:230-234) -------
+    # per-ray CDFs = exact reference semantics; hier_ray_tile=128 = the
+    # tile-shared importance CDF variant (PERFORMANCE.md, +48% measured)
     try:
-        pr = hashnerf_blocked_preset(n_importance=192)
-        tpr = TrainParams(n_samples=64, n_rand=16384, n_iters=8100,
-                          chunk=16384, i_print=0, i_weights=0, i_testset=0,
-                          base_dir="/tmp/nerfpp_bench", steps_per_call=5)
-        exr = NeRFExecutor(pr)
-        exr.white_bkgr = scene.white_bkgr
-        exr.initialize(scene.bounding_box, tpr.lrate_decay, seed=0)
-        samplerr = RayBatchSampler.from_scene(scene, tpr.n_rand,
-                                              tile_h=8, tile_w=16)
-        stepr = exr._build_train_step(tpr)
-        manyr = exr._build_train_many(stepr)
-        str_ = {**exr.state, "step": jnp.asarray(3000, jnp.int32)}
-        st2, mr = manyr(str_, samplerr, key, k=5)
-        _sync(jax, mr)
-        t0 = time.perf_counter()
-        st2, mr = manyr(st2, samplerr, key, k=5)
-        _sync(jax, mr)
-        ref_rps = tpr.n_rand / ((time.perf_counter() - t0) / 5)
-        extras["reference_workload_rays_per_sec"] = round(ref_rps)
+        for tag, tile in (("reference_workload", 0),
+                          ("reference_workload_tiled_cdf", 128)):
+            pr = hashnerf_blocked_preset(n_importance=192,
+                                         hier_ray_tile=tile)
+            tpr = TrainParams(n_samples=64, n_rand=16384, n_iters=8100,
+                              chunk=16384, i_print=0, i_weights=0,
+                              i_testset=0, base_dir="/tmp/nerfpp_bench",
+                              steps_per_call=5)
+            exr = NeRFExecutor(pr)
+            exr.white_bkgr = scene.white_bkgr
+            exr.initialize(scene.bounding_box, tpr.lrate_decay, seed=0)
+            samplerr = RayBatchSampler.from_scene(scene, tpr.n_rand,
+                                                  tile_h=8, tile_w=16)
+            stepr = exr._build_train_step(tpr)
+            manyr = exr._build_train_many(stepr)
+            str_ = {**exr.state, "step": jnp.asarray(3000, jnp.int32)}
+            st2, mr = manyr(str_, samplerr, key, k=5)
+            _sync(jax, mr)
+            t0 = time.perf_counter()
+            st2, mr = manyr(st2, samplerr, key, k=5)
+            _sync(jax, mr)
+            ref_rps = tpr.n_rand / ((time.perf_counter() - t0) / 5)
+            extras[f"{tag}_rays_per_sec"] = round(ref_rps)
+            print(f"{tag} (16384 x 64+192): {ref_rps:,.0f} rays/s",
+                  file=sys.stderr)
         extras["reference_workload_note"] = (
             "hierarchical 64+192, no occupancy; measured at an"
             " annealed-noise step counter on init params")
-        print(f"reference workload (16384 x 64+192): {ref_rps:,.0f} rays/s",
-              file=sys.stderr)
     except Exception as e:  # secondary metric must not sink the bench
         print(f"reference-workload bench failed: {e}", file=sys.stderr)
 

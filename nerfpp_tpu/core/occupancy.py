@@ -96,6 +96,25 @@ def update_grid(grid: OccupancyGrid, sigma_fn, params, bounding_box,
         density=jnp.maximum(decay * grid.density, unbrick(sigma)))
 
 
+def ray_bin_densities(grid: OccupancyGrid, rays_o: jnp.ndarray,
+                      rays_d: jnp.ndarray, near: jnp.ndarray,
+                      far: jnp.ndarray, bounding_box, n_bins: int):
+    """Raw (un-normalized) grid density at M uniform bin midpoints per ray.
+
+    Returns (edges [R, M+1], d [R, M]) with d stop-gradiented."""
+    g = grid.resolution
+    box_min = jnp.asarray(bounding_box[:3])
+    box_max = jnp.asarray(bounding_box[3:])
+    t = jnp.linspace(0.0, 1.0, n_bins + 1, dtype=jnp.float32)
+    edges = near + (far - near) * t                          # [R, M+1]
+    mids = 0.5 * (edges[..., 1:] + edges[..., :-1])          # [R, M]
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * mids[..., None]
+    rel = (pts - box_min) / (box_max - box_min)
+    idx = jnp.clip((rel * g).astype(jnp.int32), 0, g - 1)    # [R, M, 3]
+    d = grid.density[idx[..., 0], idx[..., 1], idx[..., 2]]  # [R, M]
+    return edges, jax.lax.stop_gradient(d)
+
+
 def ray_bin_weights(grid: OccupancyGrid, rays_o: jnp.ndarray,
                     rays_d: jnp.ndarray, near: jnp.ndarray, far: jnp.ndarray,
                     bounding_box, n_bins: int,
@@ -107,17 +126,8 @@ def ray_bin_weights(grid: OccupancyGrid, rays_o: jnp.ndarray,
     blended with ``uniform_frac`` of uniform mass (keeps empty space lightly
     supervised and the inverse CDF well-conditioned).
     """
-    g = grid.resolution
-    box_min = jnp.asarray(bounding_box[:3])
-    box_max = jnp.asarray(bounding_box[3:])
-    t = jnp.linspace(0.0, 1.0, n_bins + 1, dtype=jnp.float32)
-    edges = near + (far - near) * t                          # [R, M+1]
-    mids = 0.5 * (edges[..., 1:] + edges[..., :-1])          # [R, M]
-    pts = rays_o[:, None, :] + rays_d[:, None, :] * mids[..., None]
-    rel = (pts - box_min) / (box_max - box_min)
-    idx = jnp.clip((rel * g).astype(jnp.int32), 0, g - 1)    # [R, M, 3]
-    d = grid.density[idx[..., 0], idx[..., 1], idx[..., 2]]  # [R, M]
-    d = jax.lax.stop_gradient(d)
+    edges, d = ray_bin_densities(grid, rays_o, rays_d, near, far,
+                                 bounding_box, n_bins)
     pdf = d / jnp.maximum(jnp.sum(d, axis=-1, keepdims=True), 1e-8)
     w = (1.0 - uniform_frac) * pdf + uniform_frac / n_bins
     return edges, w
@@ -143,7 +153,36 @@ def tiled_ray_z(grid: OccupancyGrid, rays_o: jnp.ndarray,
 
     Returns z_vals [R, n_samples], sorted per ray.
     """
+    z_t, _ = tiled_ray_z_mass(grid, rays_o, rays_d, near, far, bounding_box,
+                              n_bins, n_samples, uniform_frac, tile, det, key)
+    return jnp.repeat(z_t, tile, axis=0)                         # [R, S]
+
+
+def tiled_ray_z_mass(grid: OccupancyGrid, rays_o: jnp.ndarray,
+                     rays_d: jnp.ndarray, near: jnp.ndarray,
+                     far: jnp.ndarray, bounding_box, n_bins: int,
+                     n_samples: int, uniform_frac: float = 0.1,
+                     tile: int = 128, det: bool = True, key=None):
+    """tiled_ray_z's core: per-TILE z-values plus each tile's total raw
+    density mass (the empty-tile signal the sample-budget split ranks by).
+
+    Returns (z_t [T, n_samples], mass [T]); callers repeat z_t over the tile.
+    """
     from nerfpp_tpu.core.sampling import sample_pdf
+    edges_t, w_t, mass = tiled_prior(grid, rays_o, rays_d, near, far,
+                                     bounding_box, n_bins, uniform_frac, tile)
+    z_t = sample_pdf(edges_t, w_t, n_samples, det=det, key=key)  # [T, S]
+    return z_t, mass
+
+
+def tiled_prior(grid: OccupancyGrid, rays_o: jnp.ndarray,
+                rays_d: jnp.ndarray, near: jnp.ndarray, far: jnp.ndarray,
+                bounding_box, n_bins: int, uniform_frac: float = 0.1,
+                tile: int = 128):
+    """Per-TILE sampling prior: (edges [T, M+1], weights [T, M], mass [T]).
+
+    mass = mean raw grid density along the tile's rays (pre-normalization) —
+    the empty-tile signal the sample-budget split ranks by."""
     r = rays_o.shape[0]
     nt = r // tile
     near_t = near.reshape(nt, tile).min(axis=1, keepdims=True)   # [T, 1]
@@ -153,11 +192,13 @@ def tiled_ray_z(grid: OccupancyGrid, rays_o: jnp.ndarray,
     # even at 32 spread probes: thin structures intersected by only a few of
     # the tile's rays drop out of the subsampled mean, and rays through them
     # then only ever get the 10% uniform floor of samples.)
-    edges_s, w_s = ray_bin_weights(
+    edges_s, d_s = ray_bin_densities(
         grid, rays_o, rays_d,
         jnp.repeat(near_t, tile, axis=0), jnp.repeat(far_t, tile, axis=0),
-        bounding_box, n_bins, uniform_frac)
+        bounding_box, n_bins)
+    mass = d_s.reshape(nt, tile, -1).sum(axis=(1, 2)) / tile     # [T]
+    pdf = d_s / jnp.maximum(jnp.sum(d_s, axis=-1, keepdims=True), 1e-8)
+    w_s = (1.0 - uniform_frac) * pdf + uniform_frac / n_bins
     edges_t = edges_s.reshape(nt, tile, -1)[:, 0, :]             # [T, M+1]
     w_t = w_s.reshape(nt, tile, -1).mean(axis=1)                 # [T, M]
-    z_t = sample_pdf(edges_t, w_t, n_samples, det=det, key=key)  # [T, S]
-    return jnp.repeat(z_t, tile, axis=0)                         # [R, S]
+    return edges_t, w_t, mass

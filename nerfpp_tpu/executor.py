@@ -50,7 +50,8 @@ from nerfpp_tpu.models.nerf_small import NeRFSmall
 from nerfpp_tpu.render import lerf as lerf_render
 from nerfpp_tpu.render.renderer import (RenderConfig, make_nerf_integrate_fn,
                                         make_nerf_network_fn, render_image,
-                                        render_ray_batch)
+                                        render_ray_batch,
+                                        render_ray_batch_budgeted)
 from nerfpp_tpu.parallel import mesh as mesh_utils
 from nerfpp_tpu.utils import checkpoint as ckpt_utils
 
@@ -277,7 +278,8 @@ class NeRFExecutor:
             n_occ_bins=(self.params.occ_n_bins
                         if self.params.use_occupancy_grid else 0),
             occ_uniform_frac=self.params.occ_uniform_frac,
-            occ_ray_tile=self.params.occ_ray_tile)
+            occ_ray_tile=self.params.occ_ray_tile,
+            hier_ray_tile=self.params.hier_ray_tile)
 
     # ---------------------------------------------------------- train step
 
@@ -311,6 +313,12 @@ class NeRFExecutor:
         use_occ = p.use_nerf and p.use_occupancy_grid
         sigma_fn = self._sigma_grid_fn() if use_occ else None
         occ_every, occ_decay = p.occ_update_every, p.occ_decay
+        # two-class tile sample budget (empty tiles encode fewer points);
+        # needs the tile-shared CDF path and whole tiles per chunk
+        use_budget = (use_occ and p.occ_tile_budget_frac > 0.0
+                      and cfg.occ_ray_tile > 0
+                      and chunk % cfg.occ_ray_tile == 0
+                      and chunk // cfg.occ_ray_tile >= 2)
 
         @jax.jit
         def train_step(state, sampler: RayBatchSampler, key: jax.Array):
@@ -344,7 +352,24 @@ class NeRFExecutor:
                     cb, kr, kl = chunk_args
                     cb = mesh_utils.shard_rays(cb, mesh)
                     sums = {}
-                    if p.use_nerf:
+                    if p.use_nerf and use_budget:
+                        res_d, res_s, idx_d, idx_s = render_ray_batch_budgeted(
+                            params, nerf_network_fn, nerf_integrate_fn,
+                            cb["rays_o"], cb["rays_d"], cb["cone_angle"],
+                            kr, cfg, bbox, raw_noise_std, sp_alpha,
+                            occupancy=occ,
+                            dense_frac=p.occ_tile_budget_frac,
+                            sparse_samples=p.occ_sparse_samples)
+                        target = jax.lax.stop_gradient(cb["target_rgb"])
+                        sq = hub = 0.0
+                        for res, idx in ((res_d, idx_d), (res_s, idx_s)):
+                            rgb = res.outputs.rgb
+                            t = target[idx]
+                            sq = sq + jnp.sum((rgb - t) ** 2)
+                            hub = hub + jnp.sum(huber_loss(rgb, t))
+                        sums["sq_sum"] = sq
+                        sums["huber_sum"] = hub
+                    elif p.use_nerf:
                         res = render_ray_batch(
                             params, nerf_network_fn, nerf_integrate_fn,
                             cb["rays_o"], cb["rays_d"], cb["cone_angle"],
@@ -632,10 +657,15 @@ class NeRFExecutor:
             used_cfg = dataclasses.replace(cfg, use_viewdirs=False)
 
         if branch == "nerf" and self.params.use_occupancy_grid:
+            dense_frac = self.params.render_dense_frac
+            sparse_s = self.params.render_sparse_samples
+
             @jax.jit
             def fn(params, k, pose, key, occ):
                 return render_image(params, network_fn, integrate_fn, h, w, k,
-                                    pose, key, used_cfg, bbox, occupancy=occ)
+                                    pose, key, used_cfg, bbox, occupancy=occ,
+                                    dense_frac=dense_frac,
+                                    sparse_samples=sparse_s)
         else:
             @jax.jit
             def fn(params, k, pose, key):

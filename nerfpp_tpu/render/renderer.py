@@ -72,6 +72,14 @@ class RenderConfig:
     # with tile-coherent batches this keeps encode groups depth-aligned
     # (occupancy.tiled_ray_z) and divides the inverse-CDF cost by the tile
     occ_ray_tile: int = 0
+    # tile-share the HIERARCHICAL path's depths per this many consecutive
+    # rays (0 = per-ray, reference semantics): coarse z from the tile's
+    # [min near, max far] and ONE importance CDF from the tile-mean coarse
+    # weights — per-ray importance depths decohere the blocked kernel's
+    # encode groups (the reference-parity 64+192 path measured 4x slower
+    # than the flagship for exactly this reason). Integration still happens
+    # at the sampled depths, so this only changes sample PLACEMENT.
+    hier_ray_tile: int = 0
 
 
 class RenderResult(NamedTuple):
@@ -173,6 +181,9 @@ def render_rays(params: dict,
     k_strat, k_cone1, k_pdf, k_sp, k_cone2, k_noise1, k_noise2 = \
         jax.random.split(key, 7)
 
+    hier_tile = cfg.hier_ray_tile
+    tiled_hier = (occ_bins is None and hier_tile > 0
+                  and rays_o.shape[0] % hier_tile == 0)
     if occ_bins is not None and not isinstance(occ_bins, tuple):
         # pre-computed occupancy-guided depths (tile-shared CDF path)
         z_vals = occ_bins
@@ -182,6 +193,17 @@ def render_rays(params: dict,
         edges, w = occ_bins
         z_vals = S.sample_pdf(edges, w, cfg.n_samples,
                               det=(cfg.perturb == 0.0), key=k_strat)
+    elif tiled_hier:
+        # tile-shared coarse depths over the tile's [min near, max far]:
+        # every ray in an encode group samples the SAME depths; samples a
+        # ray contributes outside its own AABB segment are zeroed by the
+        # keep_mask as usual (same contract as occupancy.tiled_ray_z)
+        nt = rays_o.shape[0] // hier_tile
+        near_t = near.reshape(nt, hier_tile).min(axis=1, keepdims=True)
+        far_t = far.reshape(nt, hier_tile).max(axis=1, keepdims=True)
+        z_vals = jnp.repeat(
+            S.sample_z_vals(near_t, far_t, cfg.n_samples, cfg.lin_disp,
+                            cfg.perturb, k_strat), hier_tile, axis=0)
     else:
         z_vals = S.sample_z_vals(near, far, cfg.n_samples, cfg.lin_disp,
                                  cfg.perturb, k_strat)
@@ -196,9 +218,22 @@ def render_rays(params: dict,
     outputs = coarse
     if cfg.n_importance > 0:
         z_mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-        z_samples = S.sample_pdf(z_mids, coarse.weights[..., 1:-1],
-                                 cfg.n_importance, det=(cfg.perturb == 0.0),
-                                 key=k_pdf)
+        cw = coarse.weights[..., 1:-1]
+        if tiled_hier:
+            # ONE importance CDF per tile from the tile-mean coarse weights
+            # (bins are tile-shared above, so the mean is exact): the fine
+            # pass's encode groups stay depth-aligned, and the inverse-CDF
+            # cost drops by the tile factor
+            nt = rays_o.shape[0] // hier_tile
+            z_mids_t = z_mids.reshape(nt, hier_tile, -1)[:, 0, :]
+            w_t = cw.reshape(nt, hier_tile, -1).mean(axis=1)
+            z_samples = jnp.repeat(
+                S.sample_pdf(z_mids_t, w_t, cfg.n_importance,
+                             det=(cfg.perturb == 0.0), key=k_pdf),
+                hier_tile, axis=0)
+        else:
+            z_samples = S.sample_pdf(z_mids, cw, cfg.n_importance,
+                                     det=(cfg.perturb == 0.0), key=k_pdf)
         z_samples = jax.lax.stop_gradient(z_samples)
         # sample_pdf output is sorted by construction (order-statistic u +
         # cummax) and sample_z_vals is monotone under f32 rounding, so the
@@ -267,17 +302,90 @@ def render_ray_batch(params: dict, network_fn, integrate_fn,
         occ_bins=occ_bins)
 
 
+def render_ray_batch_budgeted(params: dict, network_fn, integrate_fn,
+                              rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                              cone_angle, key: jax.Array, cfg: RenderConfig,
+                              bounding_box: jnp.ndarray,
+                              raw_noise_std=0.0,
+                              stochastic_preconditioning_alpha=0.0,
+                              occupancy=None, dense_frac: float = 0.5,
+                              sparse_samples: int = 16):
+    """Two-class per-tile sample budget: rank the batch's ray tiles by
+    occupancy mass, give the top ``dense_frac`` tiles the full cfg.n_samples
+    and the rest (empty space) only ``sparse_samples`` — a shape-static form
+    of instant-NGP's empty-space skipping: sample COUNTS stay fixed per
+    class, the class split is a tile permutation. Every ray is rendered
+    exactly once, so per-pixel loss sums are unchanged in expectation.
+
+    Requires the tile-shared occupancy path (cfg.occ_ray_tile > 0, grid
+    present, no NDC). Returns (res_dense, res_sparse, idx_dense, idx_sparse)
+    with idx_* the flat ray indices of each class (for target gathering).
+    """
+    from nerfpp_tpu.core.occupancy import tiled_prior
+    if occupancy is None or cfg.n_occ_bins <= 0 or cfg.occ_ray_tile <= 0:
+        raise ValueError("budgeted rendering needs the tile-shared "
+                         "occupancy sampling path")
+    if cfg.ndc:
+        raise ValueError("occupancy-guided sampling is incompatible with "
+                         "NDC rays (the grid lives in world space)")
+    tile = cfg.occ_ray_tile
+    r = rays_o.shape[0]
+    if r % tile:
+        raise ValueError(f"batch of {r} rays must divide by tile {tile}")
+    n_tiles = r // tile
+    k_dense = min(max(int(round(dense_frac * n_tiles)), 1), n_tiles - 1)
+
+    viewdirs = None
+    if cfg.use_viewdirs:
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    near, far = ray_math.intersect_aabb(rays_o, rays_d, bounding_box)
+    edges_t, w_t, mass = tiled_prior(
+        occupancy, rays_o, rays_d, near[:, None], far[:, None],
+        bounding_box, cfg.n_occ_bins, cfg.occ_uniform_frac, tile)
+    order = jnp.argsort(-mass)                       # dense tiles first
+
+    def class_render(tiles, n_samples, kk):
+        ridx = (tiles[:, None] * tile
+                + jnp.arange(tile, dtype=tiles.dtype)).reshape(-1)
+        z_t = S.sample_pdf(edges_t[tiles], w_t[tiles], n_samples,
+                           det=(cfg.perturb == 0.0),
+                           key=jax.random.fold_in(kk, 0x0CC))
+        z = jnp.repeat(z_t, tile, axis=0)
+        ccfg = dataclasses.replace(cfg, n_samples=n_samples)
+        res = render_rays(
+            params, network_fn, integrate_fn,
+            rays_o[ridx], rays_d[ridx], near[ridx][:, None],
+            far[ridx][:, None],
+            viewdirs[ridx] if viewdirs is not None else None,
+            None if cfg.thin_ray else cone_angle, kk, ccfg,
+            raw_noise_std, stochastic_preconditioning_alpha, bounding_box,
+            occ_bins=z)
+        return res, ridx
+
+    kd, ks = jax.random.split(key)
+    res_d, idx_d = class_render(order[:k_dense], cfg.n_samples, kd)
+    res_s, idx_s = class_render(order[k_dense:], sparse_samples, ks)
+    return res_d, res_s, idx_d, idx_s
+
+
 def render_image(params: dict, network_fn, integrate_fn,
                  h: int, w: int, k: jnp.ndarray, c2w: jnp.ndarray,
                  key: jax.Array, cfg: RenderConfig,
                  bounding_box: jnp.ndarray,
                  c2w_staticcam: Optional[jnp.ndarray] = None,
-                 occupancy=None):
+                 occupancy=None, dense_frac: float = 0.0,
+                 sparse_samples: int = 8):
     """Full-image render via fixed-size chunks under ``lax.map``.
 
     The TPU-native replacement for BatchifyRays' dynamic chunk loop
     (NeRFRenderer.h:465-525): pixels are padded to a multiple of cfg.chunk so
     every chunk has identical shape and the scan body compiles exactly once.
+
+    ``dense_frac`` > 0 (with the tile-ordered occupancy path active) enables
+    the two-class tile sample budget: the top dense_frac of the image's
+    128-pixel tiles by occupancy mass render at cfg.n_samples, the rest
+    (background/empty space) at ``sparse_samples`` — object-centric frames
+    are mostly empty tiles, so this multiplies render throughput.
 
     Returns (RenderOutputs with [h, w, ...] maps, (near_min, far_max)).
     """
@@ -324,42 +432,133 @@ def render_image(params: dict, network_fn, integrate_fn,
     near, far = ray_math.intersect_aabb(rays_o, rays_d, bounding_box)
 
     n = hp * wp
-    chunk = min(cfg.chunk, n)
-    n_chunks = -(-n // chunk)
-    pad = n_chunks * chunk - n
-
-    def pad0(x):
-        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
-
-    rays_o_p = pad0(rays_o).reshape(n_chunks, chunk, 3)
-    rays_d_p = pad0(rays_d).reshape(n_chunks, chunk, 3)
-    near_p = pad0(near[:, None]).reshape(n_chunks, chunk, 1)
-    far_p = pad0(far[:, None]).reshape(n_chunks, chunk, 1)
     has_viewdirs = viewdirs is not None
-    vd_p = (pad0(viewdirs).reshape(n_chunks, chunk, 3) if has_viewdirs
-            else jnp.zeros_like(rays_o_p))
-    keys = jax.random.split(key, n_chunks)
 
-    def render_chunk(args):
-        ro, rd, nr, fr, vd, kk = args
-        occ_bins = None
-        if occupancy is not None and cfg.n_occ_bins > 0:
-            occ_bins = _occ_bins_or_z(occupancy, ro, rd, nr, fr,
-                                      bounding_box, cfg, kk)
-        res = render_rays(params, network_fn, integrate_fn,
-                          ro, rd, nr, fr, vd if has_viewdirs else None,
-                          None if cfg.thin_ray else cone_angle, kk, cfg,
-                          bounding_box=bounding_box, occ_bins=occ_bins)
-        return res.outputs
+    def render_flat(ro, rd, nr, fr, vd, kk, ccfg, z_all=None):
+        """Chunked lax.map render of a flat ray set; z_all [n', S] are
+        precomputed sample depths (budget path) or None (per-chunk occ)."""
+        m = ro.shape[0]
+        ch = min(ccfg.chunk, m)
+        n_ch = -(-m // ch)
+        pad_m = n_ch * ch - m
 
-    outputs = jax.lax.map(
-        render_chunk, (rays_o_p, rays_d_p, near_p, far_p, vd_p, keys))
+        def pad0(x):
+            return jnp.pad(x, [(0, pad_m)] + [(0, 0)] * (x.ndim - 1))
 
-    def unshape(x):
-        flat = x.reshape(n_chunks * chunk, *x.shape[2:])[:n]
+        args = (pad0(ro).reshape(n_ch, ch, 3),
+                pad0(rd).reshape(n_ch, ch, 3),
+                pad0(nr).reshape(n_ch, ch, 1),
+                pad0(fr).reshape(n_ch, ch, 1),
+                (pad0(vd) if has_viewdirs else
+                 jnp.zeros((m + pad_m, 3))).reshape(n_ch, ch, 3),
+                jax.random.split(kk, n_ch))
+        if z_all is not None:
+            args = args + (pad0(z_all).reshape(n_ch, ch, -1),)
+
+        def render_chunk(a):
+            ro_c, rd_c, nr_c, fr_c, vd_c, kk_c = a[:6]
+            if z_all is not None:
+                occ_bins = a[6]
+            elif occupancy is not None and ccfg.n_occ_bins > 0:
+                occ_bins = _occ_bins_or_z(occupancy, ro_c, rd_c, nr_c, fr_c,
+                                          bounding_box, ccfg, kk_c)
+            else:
+                occ_bins = None
+            res = render_rays(params, network_fn, integrate_fn,
+                              ro_c, rd_c, nr_c, fr_c,
+                              vd_c if has_viewdirs else None,
+                              None if ccfg.thin_ray else cone_angle, kk_c,
+                              ccfg, bounding_box=bounding_box,
+                              occ_bins=occ_bins)
+            return res.outputs
+
+        out = jax.lax.map(render_chunk, args)
+        return jax.tree.map(
+            lambda x: (x.reshape(n_ch * ch, *x.shape[2:])[:m]
+                       if x is not None else None), out,
+            is_leaf=lambda x: x is None)
+
+    use_budget = (dense_frac > 0.0 and occupancy is not None
+                  and cfg.n_occ_bins > 0 and cfg.tile_order
+                  and n % 128 == 0 and n // 128 >= 2)
+    if use_budget:
+        from nerfpp_tpu.core.occupancy import ray_bin_densities, tiled_prior
+        tile = 128                        # one 8x16 pixel tile per 128 rays
+        n_tiles = n // tile
+        k_dense = min(max(int(round(dense_frac * n_tiles)), 1), n_tiles - 1)
+        # two-stage probe: RANK all tiles with a cheap subsampled probe
+        # (16 rays x 16 bins, ~40x less grid traffic than the full prior),
+        # then build the full-resolution prior only for the dense class.
+        # Sparse (background) tiles place their few samples from the cheap
+        # prior — misranking costs those tiles 8-sample quality, which is
+        # what they'd get anyway.
+        sub_r, sub_b = 16, 16
+        stride = tile // sub_r
+        near_t = near.reshape(n_tiles, tile).min(axis=1)     # [T]
+        far_t = far.reshape(n_tiles, tile).max(axis=1)
+        sidx = (jnp.arange(n_tiles)[:, None] * tile
+                + jnp.arange(0, tile, stride)[None, :]).reshape(-1)
+        edges_c, d_c = ray_bin_densities(
+            occupancy, rays_o[sidx], rays_d[sidx],
+            jnp.repeat(near_t, sub_r)[:, None],
+            jnp.repeat(far_t, sub_r)[:, None],
+            bounding_box, sub_b)
+        mass = d_c.reshape(n_tiles, sub_r, sub_b).sum(axis=(1, 2))
+        order = jnp.argsort(-mass)
+        kd, ks = jax.random.split(key)
+
+        def render_class(tiles, n_s, kk, edges_t, w_t):
+            ridx = (tiles[:, None] * tile
+                    + jnp.arange(tile, dtype=tiles.dtype)).reshape(-1)
+            z_t = S.sample_pdf(edges_t, w_t, n_s, det=True,
+                               key=jax.random.fold_in(kk, 0x0CC))
+            z = jnp.repeat(z_t, tile, axis=0)
+            ccfg = dataclasses.replace(cfg, n_samples=n_s)
+            out = render_flat(rays_o[ridx], rays_d[ridx],
+                              near[ridx][:, None], far[ridx][:, None],
+                              viewdirs[ridx] if has_viewdirs else None,
+                              kk, ccfg, z_all=z)
+            return out, ridx
+
+        # dense class: full-resolution prior on its own rays only
+        dtiles = order[:k_dense]
+        dray = (dtiles[:, None] * tile
+                + jnp.arange(tile, dtype=dtiles.dtype)).reshape(-1)
+        edges_d, w_d, _ = tiled_prior(
+            occupancy, rays_o[dray], rays_d[dray], near[dray][:, None],
+            far[dray][:, None], bounding_box, cfg.n_occ_bins,
+            cfg.occ_uniform_frac, tile)
+        out_d, idx_d = render_class(dtiles, cfg.n_samples, kd, edges_d, w_d)
+        # sparse class: prior from the cheap probe
+        stiles = order[k_dense:]
+        d_t = d_c.reshape(n_tiles, sub_r, sub_b).mean(axis=1)[stiles]
+        pdf_s = d_t / jnp.maximum(d_t.sum(-1, keepdims=True), 1e-8)
+        w_s = ((1.0 - cfg.occ_uniform_frac) * pdf_s
+               + cfg.occ_uniform_frac / sub_b)
+        edges_s = edges_c.reshape(n_tiles, sub_r, -1)[:, 0, :][stiles]
+        out_s, idx_s = render_class(stiles, sparse_samples, ks,
+                                    edges_s, w_s)
+        # scatter both classes back to image order (per-sample fields like
+        # weights have class-dependent S; they are dropped below anyway)
+        per_sample_axes = {"weights", "lang_embedding"}
+
+        def combine(f, a, b):
+            if a is None or f in per_sample_axes:
+                return None
+            buf = jnp.zeros((n, *a.shape[1:]), a.dtype)
+            return buf.at[idx_d].set(a).at[idx_s].set(b)
+
+        outputs = out_d._replace(**{
+            f: combine(f, getattr(out_d, f), getattr(out_s, f))
+            for f in out_d._fields})
+    else:
+        outputs = render_flat(rays_o, rays_d, near[:, None], far[:, None],
+                              viewdirs, key, cfg)
+
+    def unshape(flat):
+        rest = flat.shape[1:]
         if not cfg.tile_order:
-            return flat.reshape(h, w, *x.shape[2:])
-        rest = x.shape[2:]
+            return flat.reshape(h, w, *rest)
         img = (flat.reshape(hp // th, wp // tw, th, tw, *rest)
                .transpose(0, 2, 1, 3, *range(4, 4 + len(rest)))
                .reshape(hp, wp, *rest))

@@ -193,3 +193,95 @@ def test_flagship_combination_end_to_end(tmp_path):
     v = scene.views[0]
     out = ex.render_view(v.pose, v.h, v.w, v.k, tp)
     assert np.isfinite(np.asarray(out["nerf"].rgb)).all()
+
+
+def test_tile_budget_covers_all_rays_once():
+    """The two-class tile budget partitions the batch exactly: every ray is
+    rendered once (idx_dense + idx_sparse = a permutation), dense tiles are
+    the highest-mass ones, and results are finite."""
+    from nerfpp_tpu.core.occupancy import OccupancyGrid, tiled_prior
+    from nerfpp_tpu.render.renderer import (RenderConfig,
+                                            make_nerf_integrate_fn,
+                                            render_ray_batch_budgeted)
+
+    res = 16
+    dens = np.zeros((res, res, res), np.float32)
+    dens[10:14, 6:10, 6:10] = 5.0           # one occupied box
+    grid = OccupancyGrid(density=jnp.asarray(dens))
+    bbox = jnp.array([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+
+    tile = 32
+    n_tiles = 8
+    r = tile * n_tiles
+    rng = np.random.RandomState(0)
+    rays_o = jnp.asarray(np.tile([[0.0, 0.0, -2.5]], (r, 1)), jnp.float32)
+    # half the tiles aim at the occupied box (+x side), half away
+    dirs = []
+    for t in range(n_tiles):
+        cx = 0.5 if t % 2 == 0 else -0.7
+        d = np.tile([[cx, 0.0, 1.0]], (tile, 1)) + rng.randn(tile, 3) * 0.01
+        dirs.append(d)
+    rays_d = jnp.asarray(np.concatenate(dirs), jnp.float32)
+
+    def toy_network(params, pts, viewdirs):
+        sigma = jnp.where(pts[..., 0] > 0.2, 3.0, 0.0)
+        rgb = jnp.full(pts.shape[:-1] + (3,), 0.5)
+        return jnp.concatenate([rgb, sigma[..., None]], axis=-1)
+
+    cfg = RenderConfig(n_samples=16, n_importance=0, use_viewdirs=False,
+                       thin_ray=True, n_occ_bins=8, occ_ray_tile=tile)
+    res_d, res_s, idx_d, idx_s = render_ray_batch_budgeted(
+        {}, toy_network, make_nerf_integrate_fn(cfg), rays_o, rays_d, None,
+        jax.random.PRNGKey(0), cfg, bbox, occupancy=grid,
+        dense_frac=0.5, sparse_samples=4)
+    # exact single coverage
+    allidx = np.sort(np.concatenate([np.asarray(idx_d), np.asarray(idx_s)]))
+    np.testing.assert_array_equal(allidx, np.arange(r))
+    assert res_d.outputs.rgb.shape == (r // 2, 3)
+    assert res_s.outputs.rgb.shape == (r // 2, 3)
+    assert np.isfinite(np.asarray(res_d.outputs.rgb)).all()
+    assert np.isfinite(np.asarray(res_s.outputs.rgb)).all()
+    # dense class = exactly the tiles whose rays hit the occupied box
+    near, far = jnp.broadcast_to(jnp.float32(1.0), (r, 1)), \
+        jnp.broadcast_to(jnp.float32(4.0), (r, 1))
+    _, _, mass = tiled_prior(grid, rays_o, rays_d, near, far, bbox, 8,
+                             tile=tile)
+    dense_tiles = set((np.asarray(idx_d) // tile).tolist())
+    top = set(np.argsort(-np.asarray(mass))[:4].tolist())
+    assert dense_tiles == top
+    # sparse class got the smaller sample count
+    assert res_s.z_vals.shape[-1] == 4
+    assert res_d.z_vals.shape[-1] == 16
+
+
+def test_executor_tile_budget_trains(tmp_path):
+    """Flagship + occ_tile_budget_frac: training runs, loss finite and
+    comparable to the unbudgeted run on the same miniature scene."""
+    from nerfpp_tpu.config import hashnerf_blocked_preset, TrainParams
+    from nerfpp_tpu.data.synthetic import make_synthetic_scene
+    from nerfpp_tpu.executor import NeRFExecutor
+
+    scene = make_synthetic_scene(n_train=2, n_val=1, n_test=1, image_hw=24)
+
+    def run(frac):
+        p = hashnerf_blocked_preset(
+            n_importance=0, log2_hashmap_size=12, n_levels=4,
+            finest_resolution=64, use_occupancy_grid=True,
+            occ_grid_resolution=16, occ_update_every=2, occ_n_bins=8,
+            occ_tile_budget_frac=frac, occ_sparse_samples=4,
+            occ_ray_tile=128)
+        tp = TrainParams(n_samples=16, n_rand=256, n_iters=6, chunk=256,
+                         i_print=0, i_weights=0, i_testset=0, i_img=0,
+                         base_dir=str(tmp_path / f"b{frac}"),
+                         tile_h=8, tile_w=16)
+        ex = NeRFExecutor(p)
+        ex.white_bkgr = scene.white_bkgr
+        ex.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+        return ex.train(scene, tp)
+
+    m_b = run(0.5)
+    m_0 = run(0.0)
+    assert np.isfinite(m_b["loss"]) and np.isfinite(m_0["loss"])
+    # same scene, same seed, fewer samples on the empty half: losses in the
+    # same ballpark (the budget must not derail optimization)
+    assert float(m_b["loss"]) < 4 * float(m_0["loss"]) + 0.1

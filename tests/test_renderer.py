@@ -197,3 +197,75 @@ def test_render_image_tile_order_parity():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(out_t.depth), np.asarray(out.depth),
                                atol=1e-5)
+
+
+def test_hier_ray_tile_shares_depths_within_tiles():
+    """hier_ray_tile: the hierarchical path's coarse AND importance depths
+    are identical for every ray of a tile, and rendering stays finite."""
+    import jax
+    from nerfpp_tpu.render.renderer import (RenderConfig,
+                                            make_nerf_integrate_fn,
+                                            render_ray_batch)
+
+    tile = 16
+    r = 4 * tile
+    rng = np.random.RandomState(0)
+    rays_o = jnp.asarray(np.tile([[0.0, 0.0, -2.5]], (r, 1)), jnp.float32)
+    d = np.tile([[0.0, 0.0, 1.0]], (r, 1)) + rng.randn(r, 3) * 0.02
+    rays_d = jnp.asarray(d, jnp.float32)
+    bbox = jnp.array([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+
+    def toy_network(params, pts, viewdirs):
+        sigma = jnp.where(jnp.linalg.norm(pts, axis=-1) < 0.5, 8.0, 0.0)
+        rgb = jnp.full(pts.shape[:-1] + (3,), 0.6)
+        return jnp.concatenate([rgb, sigma[..., None]], axis=-1)
+
+    cfg = RenderConfig(n_samples=16, n_importance=24, use_viewdirs=False,
+                       thin_ray=True, hier_ray_tile=tile)
+    res = render_ray_batch({}, toy_network, make_nerf_integrate_fn(cfg),
+                           rays_o, rays_d, None, jax.random.PRNGKey(0),
+                           cfg, bbox)
+    z = np.asarray(res.z_vals).reshape(4, tile, -1)
+    # every ray of a tile got the same merged depth set
+    np.testing.assert_allclose(z, np.broadcast_to(z[:, :1], z.shape))
+    assert z.shape[-1] == 16 + 24
+    assert np.isfinite(np.asarray(res.outputs.rgb)).all()
+    # different tiles are not forced identical (they have distinct weights)
+    # and depths are sorted
+    assert (np.diff(z[:, 0], axis=-1) >= 0).all()
+
+
+def test_hier_ray_tile_quality_close_to_per_ray():
+    """Tile-shared hierarchical sampling must not derail quality: same toy
+    scene, per-ray vs tiled CDFs give closely matching images."""
+    import jax
+    from nerfpp_tpu.render.renderer import (RenderConfig,
+                                            make_nerf_integrate_fn,
+                                            render_ray_batch)
+
+    tile = 16
+    r = 4 * tile
+    rng = np.random.RandomState(1)
+    rays_o = jnp.asarray(np.tile([[0.0, 0.0, -2.5]], (r, 1)), jnp.float32)
+    d = np.tile([[0.0, 0.0, 1.0]], (r, 1)) + rng.randn(r, 3) * 0.015
+    rays_d = jnp.asarray(d, jnp.float32)
+    bbox = jnp.array([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+
+    def toy_network(params, pts, viewdirs):
+        rr = jnp.linalg.norm(pts, axis=-1)
+        sigma = jnp.where(rr < 0.45, 12.0, 0.0)
+        rgb = jnp.stack([0.2 + pts[..., 0], 0.5 + 0 * rr,
+                         0.8 - pts[..., 2]], -1)
+        return jnp.concatenate([jnp.clip(rgb, 0, 1), sigma[..., None]], -1)
+
+    def render(tile_n):
+        cfg = RenderConfig(n_samples=24, n_importance=48, use_viewdirs=False,
+                           thin_ray=True, hier_ray_tile=tile_n)
+        return np.asarray(render_ray_batch(
+            {}, toy_network, make_nerf_integrate_fn(cfg), rays_o, rays_d,
+            None, jax.random.PRNGKey(0), cfg, bbox).outputs.rgb)
+
+    per_ray = render(0)
+    tiled = render(tile)
+    assert np.isfinite(tiled).all()
+    assert float(np.abs(per_ray - tiled).mean()) < 0.02
