@@ -210,19 +210,21 @@ def main() -> None:
     # ---- render throughput (800x800 full frame, tile-ordered) -------------
     # default = budgeted b25/sp8 at full NSamples (measured -0.14 dB); the
     # "fast" mode trades ~0.5 dB for ~2x (PERFORMANCE.md render table)
-    for tag, frac, sparse, n_s in (("render", 0.25, 8, 64),
-                                   ("render_fast", 0.25, 8, 32)):
+    for tag, frac, sparse, n_s in (("render", 0.25, 4, 64),
+                                   ("render_fast", 0.25, 4, 32)):
         exq.params.render_dense_frac = frac
         exq.params.render_sparse_samples = sparse
         exq._render_cache = {}
         tr = TrainParams(n_samples=n_s, n_rand=4096, chunk=65536)
         out = exq.render_view(v.pose, v.h, v.w, v.k, tr)   # compile
-        np.asarray(out["nerf"].rgb)
+        np.asarray(out["rgb8"])
         best = float("inf")
         for _ in range(2):  # min-of-2: tunnel queue noise dominates
             t0 = time.perf_counter()
             out = exq.render_view(v.pose, v.h, v.w, v.k, tr)
-            rgbr = np.clip(np.asarray(out["nerf"].rgb), 0, 1)
+            # the image artifact is the device-quantized uint8 map (what
+            # render_path writes to PNG); the f32 map stays on device
+            rgbr = np.asarray(out["rgb8"]).astype(np.float32) / 255.0
             best = min(best, time.perf_counter() - t0)
         mpix_s = v.h * v.w / best / 1e6
         p_r = float(-10 * np.log10(
@@ -236,10 +238,16 @@ def main() -> None:
     # per-ray CDFs = exact reference semantics; hier_ray_tile=128 = the
     # tile-shared importance CDF variant (PERFORMANCE.md, +48% measured)
     try:
-        for tag, tile in (("reference_workload", 0),
-                          ("reference_workload_tiled_cdf", 128)):
+        for tag, tile, hfrac, hsp in (
+                ("reference_workload", 0, 0.0, 0),
+                ("reference_workload_tiled_cdf", 128, 0.0, 0),
+                # + two-class fine-pass budget ranked by the coarse pass
+                # itself (PSNR-neutral, PERFORMANCE.md hier-budget study)
+                ("reference_workload_hier_budget", 128, 0.25, 32)):
             pr = hashnerf_blocked_preset(n_importance=192,
-                                         hier_ray_tile=tile)
+                                         hier_ray_tile=tile,
+                                         hier_tile_budget_frac=hfrac,
+                                         hier_sparse_importance=hsp)
             tpr = TrainParams(n_samples=64, n_rand=16384, n_iters=8100,
                               chunk=16384, i_print=0, i_weights=0,
                               i_testset=0, base_dir="/tmp/nerfpp_bench",

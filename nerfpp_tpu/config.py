@@ -124,13 +124,27 @@ class ExecutorParams:
     occ_sparse_samples: int = 16
     # render-time two-class budget (render_image): background tiles render
     # at render_sparse_samples. 0 = off. Independent of the training budget.
+    # (sparse 4 measured PSNR-neutral vs 8 and ~10% faster on the 800px
+    # scene — background tiles are genuinely empty once ranked.)
     render_dense_frac: float = 0.0
-    render_sparse_samples: int = 8
+    render_sparse_samples: int = 4
+    # depth bins for the render-time dense-class prior (0 = occ_n_bins).
+    # The range is probe-narrowed at render, so 32 bins inside the occupied
+    # span place as finely as 64 over the full ray.
+    render_prior_bins: int = 32
     # tile-share the hierarchical path's coarse z + importance CDF per N
     # consecutive rays (renderer.RenderConfig.hier_ray_tile). 0 = per-ray
     # (reference semantics); 128 keeps encode groups coherent on the
     # reference-parity 64+192 workload.
     hier_ray_tile: int = 0
+    # two-class budget on the hierarchical FINE pass (no occupancy grid
+    # needed — the ranking signal is the coarse pass itself): the top
+    # hier_tile_budget_frac of each batch's hier_ray_tile tiles by tile-mean
+    # coarse weight mass keep the full n_importance; the rest (tiles whose
+    # coarse pass saw mostly empty space) get hier_sparse_importance.
+    # 0 = off. Requires hier_ray_tile > 0 and n_importance > 0.
+    hier_tile_budget_frac: float = 0.0
+    hier_sparse_importance: int = 32
 
     KEYMAP = {
         "net_depth": "net_depth", "net_width": "net_width",
@@ -180,7 +194,10 @@ class ExecutorParams:
         "occ_sparse_samples": "occ_sparse_samples",
         "render_dense_frac": "render_dense_frac",
         "render_sparse_samples": "render_sparse_samples",
+        "render_prior_bins": "render_prior_bins",
         "hier_ray_tile": "hier_ray_tile",
+        "hier_tile_budget_frac": "hier_tile_budget_frac",
+        "hier_sparse_importance": "hier_sparse_importance",
     }
 
 

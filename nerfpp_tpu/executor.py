@@ -51,7 +51,8 @@ from nerfpp_tpu.render import lerf as lerf_render
 from nerfpp_tpu.render.renderer import (RenderConfig, make_nerf_integrate_fn,
                                         make_nerf_network_fn, render_image,
                                         render_ray_batch,
-                                        render_ray_batch_budgeted)
+                                        render_ray_batch_budgeted,
+                                        render_ray_batch_hier_budgeted)
 from nerfpp_tpu.parallel import mesh as mesh_utils
 from nerfpp_tpu.utils import checkpoint as ckpt_utils
 
@@ -319,6 +320,14 @@ class NeRFExecutor:
                       and cfg.occ_ray_tile > 0
                       and chunk % cfg.occ_ray_tile == 0
                       and chunk // cfg.occ_ray_tile >= 2)
+        # hierarchical-path analog: fine-pass importance budget ranked by the
+        # coarse pass's own tile-mean weight mass (no occupancy grid)
+        use_hier_budget = (p.use_nerf and not use_occ and not use_budget
+                           and p.hier_tile_budget_frac > 0.0
+                           and cfg.hier_ray_tile > 0
+                           and cfg.n_importance > 0
+                           and chunk % cfg.hier_ray_tile == 0
+                           and chunk // cfg.hier_ray_tile >= 2)
 
         @jax.jit
         def train_step(state, sampler: RayBatchSampler, key: jax.Array):
@@ -352,14 +361,28 @@ class NeRFExecutor:
                     cb, kr, kl = chunk_args
                     cb = mesh_utils.shard_rays(cb, mesh)
                     sums = {}
-                    if p.use_nerf and use_budget:
-                        res_d, res_s, idx_d, idx_s = render_ray_batch_budgeted(
-                            params, nerf_network_fn, nerf_integrate_fn,
-                            cb["rays_o"], cb["rays_d"], cb["cone_angle"],
-                            kr, cfg, bbox, raw_noise_std, sp_alpha,
-                            occupancy=occ,
-                            dense_frac=p.occ_tile_budget_frac,
-                            sparse_samples=p.occ_sparse_samples)
+                    if p.use_nerf and (use_budget or use_hier_budget):
+                        if use_budget:
+                            res_d, res_s, idx_d, idx_s = \
+                                render_ray_batch_budgeted(
+                                    params, nerf_network_fn,
+                                    nerf_integrate_fn,
+                                    cb["rays_o"], cb["rays_d"],
+                                    cb["cone_angle"],
+                                    kr, cfg, bbox, raw_noise_std, sp_alpha,
+                                    occupancy=occ,
+                                    dense_frac=p.occ_tile_budget_frac,
+                                    sparse_samples=p.occ_sparse_samples)
+                        else:
+                            res_d, res_s, idx_d, idx_s = \
+                                render_ray_batch_hier_budgeted(
+                                    params, nerf_network_fn,
+                                    nerf_integrate_fn,
+                                    cb["rays_o"], cb["rays_d"],
+                                    cb["cone_angle"],
+                                    kr, cfg, bbox, raw_noise_std, sp_alpha,
+                                    dense_frac=p.hier_tile_budget_frac,
+                                    sparse_importance=p.hier_sparse_importance)
                         target = jax.lax.stop_gradient(cb["target_rgb"])
                         sq = hub = 0.0
                         for res, idx in ((res_d, idx_d), (res_s, idx_s)):
@@ -623,14 +646,18 @@ class NeRFExecutor:
             fn = self._jitted_render(h, w, cfg, "nerf", with_relevancy)
             args = ((self.state["occupancy"],)
                     if self.params.use_occupancy_grid else ())
-            res, near_far = fn(self.state["params"], jnp.asarray(k),
-                               jnp.asarray(pose), key, *args)
+            res, near_far, rgb8 = fn(self.state["params"], jnp.asarray(k),
+                                     jnp.asarray(pose), key, *args)
             out["nerf"] = res
             out["near_far"] = near_far
+            # 8-bit image quantized ON DEVICE: the image artifact consumers
+            # (PNG writers, benches) should sync THIS — the device->host
+            # tunnel runs at ~60 MB/s, so the f32 map costs ~4x more to fetch
+            out["rgb8"] = rgb8
         if self.params.use_lerf:
             fn = self._jitted_render(h, w, cfg, "lerf", with_relevancy)
-            lres, _ = fn(self.state["params"], jnp.asarray(k),
-                         jnp.asarray(pose), key)
+            lres, _, _lrgb8 = fn(self.state["params"], jnp.asarray(k),
+                                 jnp.asarray(pose), key)
             out["lerf"] = lres
         return out
 
@@ -656,21 +683,31 @@ class NeRFExecutor:
                 with_relevancy=with_relevancy)
             used_cfg = dataclasses.replace(cfg, use_viewdirs=False)
 
+        def _with_rgb8(res, nf):
+            rgb8 = None
+            if res.rgb is not None:
+                rgb8 = (jnp.clip(res.rgb, 0.0, 1.0) * 255.0
+                        + 0.5).astype(jnp.uint8)
+            return res, nf, rgb8
+
         if branch == "nerf" and self.params.use_occupancy_grid:
             dense_frac = self.params.render_dense_frac
             sparse_s = self.params.render_sparse_samples
+            prior_b = getattr(self.params, "render_prior_bins", 0)
 
             @jax.jit
             def fn(params, k, pose, key, occ):
-                return render_image(params, network_fn, integrate_fn, h, w, k,
-                                    pose, key, used_cfg, bbox, occupancy=occ,
-                                    dense_frac=dense_frac,
-                                    sparse_samples=sparse_s)
+                return _with_rgb8(*render_image(
+                    params, network_fn, integrate_fn, h, w, k,
+                    pose, key, used_cfg, bbox, occupancy=occ,
+                    dense_frac=dense_frac, sparse_samples=sparse_s,
+                    prior_bins=prior_b))
         else:
             @jax.jit
             def fn(params, k, pose, key):
-                return render_image(params, network_fn, integrate_fn, h, w, k,
-                                    pose, key, used_cfg, bbox)
+                return _with_rgb8(*render_image(
+                    params, network_fn, integrate_fn, h, w, k,
+                    pose, key, used_cfg, bbox))
 
         self._render_cache[cache_key] = fn
         return fn
@@ -688,9 +725,10 @@ class NeRFExecutor:
             if "nerf" in out:
                 res = out["nerf"]
                 near, far = (float(out["near_far"][0]), float(out["near_far"][1]))
-                rgb = np.clip(np.asarray(res.rgb), 0, 1)
-                cv2.imwrite(str(save_dir / f"{i}.png"),
-                            (rgb[..., ::-1] * 255).astype(np.uint8))
+                # device-quantized 8-bit image: 4x cheaper to fetch than the
+                # f32 map over the ~60 MB/s device tunnel
+                rgb8 = np.asarray(out["rgb8"])
+                cv2.imwrite(str(save_dir / f"{i}.png"), rgb8[..., ::-1])
                 disp = np.asarray(res.disp)
                 disp = disp / max(disp.max(), 1e-10)
                 cv2.imwrite(str(save_dir / f"disp_{i}.png"),

@@ -368,13 +368,112 @@ def render_ray_batch_budgeted(params: dict, network_fn, integrate_fn,
     return res_d, res_s, idx_d, idx_s
 
 
+def render_ray_batch_hier_budgeted(params: dict, network_fn, integrate_fn,
+                                   rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                                   cone_angle, key: jax.Array,
+                                   cfg: RenderConfig,
+                                   bounding_box: jnp.ndarray,
+                                   raw_noise_std=0.0,
+                                   stochastic_preconditioning_alpha=0.0,
+                                   dense_frac: float = 0.5,
+                                   sparse_importance: int = 32):
+    """Two-class tile budget for the HIERARCHICAL fine pass.
+
+    The coarse pass runs on every ray at cfg.n_samples with tile-shared
+    depths (cfg.hier_ray_tile, as in render_rays' tiled path); tiles are
+    then ranked by tile-mean coarse weight mass — foreground tiles place
+    most of their coarse weight on surfaces, empty tiles almost none — and
+    the fine pass renders the top ``dense_frac`` tiles at the full
+    cfg.n_importance, the rest at ``sparse_importance``. Same shape-static
+    two-render structure as render_ray_batch_budgeted, but the ranking
+    signal is the coarse pass itself, so no occupancy grid is needed: this
+    is empty-space skipping for the reference-parity 64+N hierarchical
+    workload (main.cpp:230-234 semantics; sample PLACEMENT only changes for
+    the sparse/background class).
+
+    Returns (res_dense, res_sparse, idx_dense, idx_sparse).
+    """
+    tile = cfg.hier_ray_tile
+    if tile <= 0:
+        raise ValueError("hier budget needs cfg.hier_ray_tile > 0")
+    if cfg.n_importance <= 0:
+        raise ValueError("hier budget needs n_importance > 0")
+    if cfg.ndc:
+        raise ValueError("hier budget does not support NDC rays (tile "
+                         "near/far sharing happens in world space)")
+    r = rays_o.shape[0]
+    if r % tile:
+        raise ValueError(f"batch of {r} rays must divide by tile {tile}")
+    nt = r // tile
+    k_dense = min(max(int(round(dense_frac * nt)), 1), nt - 1)
+    k_strat, k_cone1, k_noise1, kd, ks = jax.random.split(key, 5)
+
+    viewdirs = None
+    if cfg.use_viewdirs:
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    near, far = ray_math.intersect_aabb(rays_o, rays_d, bounding_box)
+
+    # coarse pass on every ray, tile-shared depths (render_rays tiled_hier)
+    near_t = near.reshape(nt, tile).min(axis=1, keepdims=True)
+    far_t = far.reshape(nt, tile).max(axis=1, keepdims=True)
+    z_t = S.sample_z_vals(near_t, far_t, cfg.n_samples, cfg.lin_disp,
+                          cfg.perturb, k_strat)                   # [nt, S]
+    z_vals = jnp.repeat(z_t, tile, axis=0)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    if not cfg.thin_ray:
+        pts = S.tangent_scatter(pts, z_vals, cone_angle, rays_d, k_cone1,
+                                bounding_box)
+    raw_c = network_fn(params, pts, viewdirs)
+    coarse = integrate_fn(raw_c, z_vals, rays_d, raw_noise_std, k_noise1)
+
+    z_mids_t = 0.5 * (z_t[:, 1:] + z_t[:, :-1])
+    cw = coarse.weights[..., 1:-1]
+    w_t = cw.reshape(nt, tile, -1).mean(axis=1)                   # [nt, S-2]
+    mass = jax.lax.stop_gradient(jnp.sum(w_t, axis=-1))
+    order = jnp.argsort(-mass)
+
+    def fine_class(tiles, n_imp, kk):
+        ridx = (tiles[:, None] * tile
+                + jnp.arange(tile, dtype=tiles.dtype)).reshape(-1)
+        k_pdf_c, k_sp_c, k_cone_c, k_noise_c = jax.random.split(kk, 4)
+        z_samples_t = S.sample_pdf(z_mids_t[tiles], w_t[tiles], n_imp,
+                                   det=(cfg.perturb == 0.0), key=k_pdf_c)
+        z_samples = jax.lax.stop_gradient(
+            jnp.repeat(z_samples_t, tile, axis=0))
+        z_all = S.merge_sorted(jnp.repeat(z_t[tiles], tile, axis=0),
+                               z_samples)
+        ro, rd = rays_o[ridx], rays_d[ridx]
+        pts_f = ro[:, None, :] + rd[:, None, :] * z_all[..., None]
+        if cfg.use_sp_noise and bounding_box is not None:
+            noise = jax.random.normal(k_sp_c, pts_f.shape) \
+                * stochastic_preconditioning_alpha
+            pts_f = S.reflect_boundary(pts_f + noise, bounding_box[:3],
+                                       bounding_box[3:])
+        if not cfg.thin_ray:
+            pts_f = S.tangent_scatter(pts_f, z_all, cone_angle, rd, k_cone_c,
+                                      bounding_box)
+        raw_f = network_fn(params, pts_f,
+                           viewdirs[ridx] if viewdirs is not None else None)
+        out = integrate_fn(raw_f, z_all, rd, raw_noise_std, k_noise_c)
+        coarse_c = jax.tree.map(
+            lambda x: x[ridx] if x is not None else None, coarse,
+            is_leaf=lambda x: x is None)
+        return RenderResult(outputs=out, coarse=coarse_c,
+                            raw=raw_f if cfg.return_raw else None,
+                            z_vals=z_all), ridx
+
+    res_d, idx_d = fine_class(order[:k_dense], cfg.n_importance, kd)
+    res_s, idx_s = fine_class(order[k_dense:], sparse_importance, ks)
+    return res_d, res_s, idx_d, idx_s
+
+
 def render_image(params: dict, network_fn, integrate_fn,
                  h: int, w: int, k: jnp.ndarray, c2w: jnp.ndarray,
                  key: jax.Array, cfg: RenderConfig,
                  bounding_box: jnp.ndarray,
                  c2w_staticcam: Optional[jnp.ndarray] = None,
                  occupancy=None, dense_frac: float = 0.0,
-                 sparse_samples: int = 8):
+                 sparse_samples: int = 8, prior_bins: int = 0):
     """Full-image render via fixed-size chunks under ``lax.map``.
 
     The TPU-native replacement for BatchifyRays' dynamic chunk loop
@@ -520,13 +619,40 @@ def render_image(params: dict, network_fn, integrate_fn,
                               kk, ccfg, z_all=z)
             return out, ridx
 
-        # dense class: full-resolution prior on its own rays only
+        # dense class: full-resolution prior on its own rays only. The prior
+        # depth range is NARROWED to the span where the cheap probe saw mass
+        # (+1 probe bin ~ 1/16 range margin each side): at render time empty
+        # depth needs no uniform-floor supervision, so the prior's bins
+        # concentrate where the surfaces are — grid traffic drops with
+        # prior_bins while placement granularity inside the span improves.
         dtiles = order[:k_dense]
         dray = (dtiles[:, None] * tile
                 + jnp.arange(tile, dtype=dtiles.dtype)).reshape(-1)
+        pb = abs(prior_bins) if prior_bins != 0 else cfg.n_occ_bins
+        narrow = prior_bins >= 0   # prior_bins < 0: |bins| without narrowing
+        # a probe bin counts as occupied above 2% of the tile's peak density
+        # (trunc_exp densities are never exactly zero, so an absolute zero
+        # test would never narrow anything)
+        bm = d_c.reshape(n_tiles, sub_r, sub_b).max(axis=1)        # [T, B]
+        occ_bin = bm > 0.02 * jnp.max(bm, axis=1, keepdims=True)
+        any_occ = occ_bin.any(axis=1)
+        bi = jnp.arange(sub_b)
+        lo = jnp.min(jnp.where(occ_bin, bi, sub_b), axis=1) - 1   # [T]
+        hi = jnp.max(jnp.where(occ_bin, bi, -1), axis=1) + 2
+        lo = jnp.clip(lo, 0, sub_b)
+        hi = jnp.clip(hi, 0, sub_b)
+        edges_tile = edges_c.reshape(n_tiles, sub_r, -1)[:, 0, :]  # [T, B+1]
+        narrow_ok = any_occ if narrow else jnp.zeros_like(any_occ)
+        near_n = jnp.where(narrow_ok,
+                           jnp.take_along_axis(edges_tile, lo[:, None],
+                                               axis=1)[:, 0], near_t)
+        far_n = jnp.where(narrow_ok,
+                          jnp.take_along_axis(edges_tile, hi[:, None],
+                                              axis=1)[:, 0], far_t)
         edges_d, w_d, _ = tiled_prior(
-            occupancy, rays_o[dray], rays_d[dray], near[dray][:, None],
-            far[dray][:, None], bounding_box, cfg.n_occ_bins,
+            occupancy, rays_o[dray], rays_d[dray],
+            jnp.repeat(near_n[dtiles], tile)[:, None],
+            jnp.repeat(far_n[dtiles], tile)[:, None], bounding_box, pb,
             cfg.occ_uniform_frac, tile)
         out_d, idx_d = render_class(dtiles, cfg.n_samples, kd, edges_d, w_d)
         # sparse class: prior from the cheap probe

@@ -1,0 +1,83 @@
+"""Train-step time decomposition at the flagship recipe by ablation:
+each variant rebuilds the jitted step with one component altered and
+measures the amortized (steps_per_call=25) trained-state step time.
+
+Usage: PYTHONPATH=.:scripts python scripts/profile_step.py
+"""
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nerfpp_tpu.config import TrainParams, hashnerf_blocked_preset
+from nerfpp_tpu.data.dataset import RayBatchSampler
+from nerfpp_tpu.executor import NeRFExecutor
+from nerfpp_tpu.utils import checkpoint as ckpt_utils
+from profile_render import CKPT, trained_executor
+from quality_tile_budget import load_scene
+
+
+def main():
+    scene = load_scene()
+    ex0, _ = trained_executor(scene)   # restores or trains the shared ckpt
+    state0 = ex0.state
+
+    def measure(tag, **over):
+        pk = dict(n_importance=0, use_occupancy_grid=True,
+                  occ_update_every=32)
+        tk = dict(n_samples=64, n_rand=4096, n_iters=8100, chunk=4096,
+                  i_print=0, i_weights=0, i_testset=0,
+                  base_dir="/tmp/psb", steps_per_call=25)
+        ex_over = {}
+        for k, v in over.items():
+            if k in tk:
+                tk[k] = v
+            elif k in pk:
+                pk[k] = v
+            else:
+                ex_over[k] = v
+        p = hashnerf_blocked_preset(**pk)
+        tp = TrainParams(**tk)
+        ex = NeRFExecutor(p)
+        for k, v in ex_over.items():
+            setattr(ex.params, k, v)
+        ex.white_bkgr = scene.white_bkgr
+        ex.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+        # adopt the trained params/occupancy so placement coherence matches
+        st = dict(ex.state)
+        for k in ("params", "opt_state", "occupancy", "step"):
+            if k in state0:
+                st[k] = state0[k]
+        sampler = RayBatchSampler.from_scene(scene, tp.n_rand,
+                                             tile_h=8, tile_w=16)
+        step_fn = ex._build_train_step(tp)
+        many = ex._build_train_many(step_fn)
+        key = jax.random.PRNGKey(1)
+        k_ = tp.steps_per_call
+        st, m = many(st, sampler, key, k=k_)
+        jax.tree.map(np.asarray, m)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            st, m = many(st, sampler, key, k=k_)
+            jax.tree.map(np.asarray, m)
+            best = min(best, (time.perf_counter() - t0) / k_)
+        print(f"{tag}: {best*1e3:.2f} ms/step -> "
+              f"{tp.n_rand/best:,.0f} rays/s", flush=True)
+        return best
+
+    base = measure("baseline (flagship)")
+    measure("no occ refresh", occ_update_every=1 << 30)
+    measure("occ refresh every 64", occ_update_every=64)
+    measure("budget off", occ_tile_budget_frac=0.0)
+    measure("budget 0.375/16", occ_tile_budget_frac=0.375)
+    measure("budget 0.25/16", occ_tile_budget_frac=0.25)
+    measure("sparse 8", occ_sparse_samples=8)
+    measure("k=50", steps_per_call=50)
+    measure("no TV/noises: thin_ray", thin_ray=True)
+
+
+if __name__ == "__main__":
+    main()

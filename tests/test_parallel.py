@@ -176,3 +176,36 @@ def test_dp_tile_budget_matches_single_device():
     m8 = run(mesh_utils.make_mesh())
     np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
                                rtol=2e-4)
+
+
+def test_dp_hier_budget_matches_single_device():
+    """The hierarchical fine-pass budget (coarse-weight tile ranking + two
+    fine renders) must track the single-device step under the DP mesh."""
+    from nerfpp_tpu.config import hashnerf_preset, TrainParams
+    from nerfpp_tpu.data.dataset import RayBatchSampler
+    from nerfpp_tpu.data.synthetic import make_synthetic_scene
+    from nerfpp_tpu.executor import NeRFExecutor
+
+    scene = make_synthetic_scene(n_train=2, n_val=1, n_test=1, image_hw=16)
+    p = hashnerf_preset(n_importance=16, log2_hashmap_size=10, n_levels=4,
+                        finest_resolution=32, hier_ray_tile=64,
+                        hier_tile_budget_frac=0.5, hier_sparse_importance=4)
+    tp = TrainParams(n_samples=8, n_rand=256, n_iters=4, chunk=256,
+                     i_print=0, i_weights=0, i_testset=0, i_img=0,
+                     base_dir="/tmp/dphier")
+    sampler = RayBatchSampler.from_scene(scene, tp.n_rand, tile_h=8, tile_w=8)
+
+    def run(mesh):
+        ex = NeRFExecutor(p)
+        ex.white_bkgr = scene.white_bkgr
+        ex.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+        step = ex._build_train_step(tp, mesh=mesh)
+        st = ex.state
+        for _ in range(3):
+            st, m = step(st, sampler, jax.random.PRNGKey(7))
+        return jax.device_get(m)
+
+    m1 = run(None)
+    m8 = run(mesh_utils.make_mesh())
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=2e-4)

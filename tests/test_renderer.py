@@ -269,3 +269,107 @@ def test_hier_ray_tile_quality_close_to_per_ray():
     tiled = render(tile)
     assert np.isfinite(tiled).all()
     assert float(np.abs(per_ray - tiled).mean()) < 0.02
+
+
+def test_hier_budget_covers_all_rays_once():
+    """render_ray_batch_hier_budgeted partitions the batch exactly, ranks
+    foreground tiles dense, and gives each class the right fine depth count
+    (n_samples + n_importance vs n_samples + sparse_importance)."""
+    from nerfpp_tpu.render.renderer import (RenderConfig,
+                                            make_nerf_integrate_fn,
+                                            render_ray_batch_hier_budgeted)
+
+    tile = 16
+    n_tiles = 8
+    r = tile * n_tiles
+    rng = np.random.RandomState(0)
+    rays_o = jnp.asarray(np.tile([[0.0, 0.0, -2.5]], (r, 1)), jnp.float32)
+    dirs = []
+    for t in range(n_tiles):
+        # even tiles aim at the sphere, odd tiles miss it
+        cx = 0.0 if t % 2 == 0 else 0.9
+        d = np.tile([[cx, 0.0, 1.0]], (tile, 1)) + rng.randn(tile, 3) * 0.01
+        dirs.append(d)
+    rays_d = jnp.asarray(np.concatenate(dirs), jnp.float32)
+
+    def toy_network(params, pts, viewdirs):
+        sigma = jnp.where(jnp.linalg.norm(pts, axis=-1) < 0.4, 20.0, 0.0)
+        rgb = jnp.full(pts.shape[:-1] + (3,), 0.5)
+        return jnp.concatenate([rgb, sigma[..., None]], axis=-1)
+
+    cfg = RenderConfig(n_samples=16, n_importance=24, use_viewdirs=False,
+                       thin_ray=True, hier_ray_tile=tile)
+    res_d, res_s, idx_d, idx_s = render_ray_batch_hier_budgeted(
+        {}, toy_network, make_nerf_integrate_fn(cfg), rays_o, rays_d,
+        None, jax.random.PRNGKey(0), cfg, BBOX,
+        dense_frac=0.5, sparse_importance=8)
+    allidx = np.sort(np.concatenate([np.asarray(idx_d), np.asarray(idx_s)]))
+    np.testing.assert_array_equal(allidx, np.arange(r))
+    assert res_d.z_vals.shape[-1] == 16 + 24
+    assert res_s.z_vals.shape[-1] == 16 + 8
+    assert np.isfinite(np.asarray(res_d.outputs.rgb)).all()
+    assert np.isfinite(np.asarray(res_s.outputs.rgb)).all()
+    # the dense class is exactly the sphere-facing (even) tiles
+    dense_tiles = sorted(set((np.asarray(idx_d) // tile).tolist()))
+    assert dense_tiles == [0, 2, 4, 6]
+
+
+def test_hier_budget_parity_when_equal():
+    """With sparse_importance == n_importance and no stochastic paths, the
+    budgeted two-class render equals the plain tiled hierarchical render
+    (the split is then just a tile permutation)."""
+    from nerfpp_tpu.render.renderer import (RenderConfig,
+                                            make_nerf_integrate_fn,
+                                            render_ray_batch,
+                                            render_ray_batch_hier_budgeted)
+
+    tile = 16
+    r = 6 * tile
+    rng = np.random.RandomState(3)
+    rays_o = jnp.asarray(np.tile([[0.0, 0.0, -2.5]], (r, 1)), jnp.float32)
+    d = np.tile([[0.0, 0.0, 1.0]], (r, 1)) + rng.randn(r, 3) * 0.05
+    rays_d = jnp.asarray(d, jnp.float32)
+
+    def toy_network(params, pts, viewdirs):
+        rr = jnp.linalg.norm(pts, axis=-1)
+        sigma = jnp.where(rr < 0.45, 9.0, 0.0)
+        rgb = jnp.stack([0.2 + pts[..., 0], jnp.full_like(rr, 0.5),
+                         0.8 - pts[..., 2]], -1)
+        return jnp.concatenate([jnp.clip(rgb, 0, 1), sigma[..., None]], -1)
+
+    cfg = RenderConfig(n_samples=16, n_importance=24, use_viewdirs=False,
+                       thin_ray=True, hier_ray_tile=tile)
+    int_fn = make_nerf_integrate_fn(cfg)
+    plain = render_ray_batch({}, toy_network, int_fn, rays_o, rays_d, None,
+                             jax.random.PRNGKey(0), cfg, BBOX)
+    res_d, res_s, idx_d, idx_s = render_ray_batch_hier_budgeted(
+        {}, toy_network, int_fn, rays_o, rays_d, None,
+        jax.random.PRNGKey(0), cfg, BBOX,
+        dense_frac=0.5, sparse_importance=24)
+    buf = np.zeros((r, 3), np.float32)
+    buf[np.asarray(idx_d)] = np.asarray(res_d.outputs.rgb)
+    buf[np.asarray(idx_s)] = np.asarray(res_s.outputs.rgb)
+    np.testing.assert_allclose(buf, np.asarray(plain.outputs.rgb),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_executor_hier_budget_trains(tmp_path):
+    """hier_tile_budget_frac wires through the executor: hierarchical
+    training runs with the two-class fine pass and stays finite."""
+    from nerfpp_tpu.config import hashnerf_blocked_preset, TrainParams
+    from nerfpp_tpu.data.synthetic import make_synthetic_scene
+    from nerfpp_tpu.executor import NeRFExecutor
+
+    scene = make_synthetic_scene(n_train=2, n_val=1, n_test=1, image_hw=24)
+    p = hashnerf_blocked_preset(
+        n_importance=16, log2_hashmap_size=12, n_levels=4,
+        finest_resolution=64, hier_ray_tile=128,
+        hier_tile_budget_frac=0.5, hier_sparse_importance=4)
+    tp = TrainParams(n_samples=16, n_rand=256, n_iters=4, chunk=256,
+                     i_print=0, i_weights=0, i_testset=0, i_img=0,
+                     base_dir=str(tmp_path / "hb"), tile_h=8, tile_w=16)
+    ex = NeRFExecutor(p)
+    ex.white_bkgr = scene.white_bkgr
+    ex.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+    m = ex.train(scene, tp)
+    assert np.isfinite(m["loss"])
