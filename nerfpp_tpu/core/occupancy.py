@@ -96,6 +96,59 @@ def update_grid(grid: OccupancyGrid, sigma_fn, params, bounding_box,
         density=jnp.maximum(decay * grid.density, unbrick(sigma)))
 
 
+def update_grid_phased(grid: OccupancyGrid, sigma_fn, params, bounding_box,
+                       key: jax.Array, phase, decay: float = 0.95
+                       ) -> OccupancyGrid:
+    """Octant-phased EMA-max update: refresh 1/8 of the cells per call,
+    rotating through the 8 (i%2, j%2, k%2) sub-lattices by ``phase``.
+
+    Probing the FULL 128^3 grid through the blocked hash encoder is the
+    single most expensive part of a flagship train step (~250-400 ms per
+    refresh, ~10 ms/step amortized at occ_update_every=32): grid cells are
+    ~8x coarser than the finest hash level's cells, so every probe point
+    lands in its own kernel window — the worst case for the window loop.
+    Phasing divides that by 8 while every cell still refreshes every
+    8 * occ_update_every steps; decay is adjusted to decay^(1/8)
+    per call so a cell's density shrinks at the SAME per-step rate as the
+    full refresh (empty-space carving speed is decay-driven).
+
+    ``phase`` may be a traced int scalar (the executor passes
+    (step // occ_every) % 8); the octant select is a dynamic-slice on the
+    [G/2, 2, ...] interleaved view — no scatter.
+    """
+    g = grid.resolution
+    assert g % 16 == 0, "phased update needs G % 16 == 0"
+    h = g // 2
+    box_min = jnp.asarray(bounding_box[:3])
+    box_max = jnp.asarray(bounding_box[3:])
+    cell = (box_max - box_min) / g
+    phase = jnp.asarray(phase, jnp.int32) % 8
+    pi, pj, pk = phase & 1, (phase >> 1) & 1, (phase >> 2) & 1
+
+    ii = jnp.arange(h, dtype=jnp.float32) * 2.0
+    corners = jnp.stack(jnp.meshgrid(ii, ii, ii, indexing="ij"), axis=-1)
+    off = jnp.stack([pi, pj, pk]).astype(jnp.float32)
+    jitter = jax.random.uniform(key, corners.shape, dtype=jnp.float32)
+    pts = box_min + (corners + off + jitter) * cell           # [h, h, h, 3]
+
+    def brick(x):
+        return (x.reshape(h // 4, 4, h // 4, 4, h // 8, 8, 3)
+                .transpose(0, 2, 4, 1, 3, 5, 6).reshape(-1, 3))
+
+    def unbrick(s):
+        return (s.reshape(h // 4, h // 4, h // 8, 4, 4, 8)
+                .transpose(0, 3, 1, 4, 2, 5).reshape(h, h, h))
+
+    sigma = jax.lax.stop_gradient(sigma_fn(params, brick(pts)))
+    d = grid.density * (decay ** (1.0 / 8.0))
+    d6 = d.reshape(h, 2, h, 2, h, 2).transpose(1, 3, 5, 0, 2, 4)
+    old = jax.lax.dynamic_slice(d6, (pi, pj, pk, 0, 0, 0), (1, 1, 1, h, h, h))
+    new = jnp.maximum(old, unbrick(sigma)[None, None, None])
+    d6 = jax.lax.dynamic_update_slice(d6, new, (pi, pj, pk, 0, 0, 0))
+    return OccupancyGrid(density=d6.transpose(3, 0, 4, 1, 5, 2)
+                         .reshape(g, g, g))
+
+
 def ray_bin_densities(grid: OccupancyGrid, rays_o: jnp.ndarray,
                       rays_d: jnp.ndarray, near: jnp.ndarray,
                       far: jnp.ndarray, bounding_box, n_bins: int):

@@ -59,15 +59,25 @@ def main():
         st, m = many(st, sampler, key, k=k_)
         jax.tree.map(np.asarray, m)
         best = float("inf")
+        tot = 0.0
         for _ in range(3):
             t0 = time.perf_counter()
             st, m = many(st, sampler, key, k=k_)
             jax.tree.map(np.asarray, m)
-            best = min(best, (time.perf_counter() - t0) / k_)
-        print(f"{tag}: {best*1e3:.2f} ms/step -> "
-              f"{tp.n_rand/best:,.0f} rays/s", flush=True)
+            dt = (time.perf_counter() - t0) / k_
+            best = min(best, dt)
+            tot += dt
+        print(f"{tag}: min {best*1e3:.2f} / mean {tot/3*1e3:.2f} ms/step -> "
+              f"{tp.n_rand/(tot/3):,.0f} rays/s (mean)", flush=True)
         return best
 
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "phased":
+        # k=64 windows contain exactly 2 refreshes (every=32): the MEAN is
+        # the honest amortized rate (min-of-k=25 windows dodges refreshes)
+        measure("baseline (full refresh)", steps_per_call=64)
+        measure("phased refresh", occ_phased_refresh=True, steps_per_call=64)
+        return
     base = measure("baseline (flagship)")
     measure("no occ refresh", occ_update_every=1 << 30)
     measure("occ refresh every 64", occ_update_every=64)

@@ -285,3 +285,50 @@ def test_executor_tile_budget_trains(tmp_path):
     # same scene, same seed, fewer samples on the empty half: losses in the
     # same ballpark (the budget must not derail optimization)
     assert float(m_b["loss"]) < 4 * float(m_0["loss"]) + 0.1
+
+
+def test_phased_update_covers_all_cells():
+    """8 phased updates (phases 0..7) refresh every cell exactly once, with
+    the total decay matching one full-refresh interval."""
+    from nerfpp_tpu.core.occupancy import (OccupancyGrid, update_grid_phased,
+                                           make_occupancy_grid)
+
+    g = 16
+    bbox = np.array([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0], np.float32)
+
+    def sigma_fn(params, pts):
+        # cell-aligned indicator: sigma 5 where x < 0 (cells i < 8)
+        return jnp.where(pts[..., 0] < 0.0, 5.0, 0.0)
+
+    grid = make_occupancy_grid(g)
+    for ph in range(8):
+        grid = update_grid_phased(grid, sigma_fn, {}, bbox,
+                                  jax.random.PRNGKey(ph), ph, decay=0.95)
+    d = np.asarray(grid.density)
+    # occupied half: sigma 5 written at the cell's phase, then decayed by at
+    # most the remaining 7/8 of one full-refresh decay
+    assert (d[:8] >= 5.0 * 0.95).all()
+    # empty half: never raised, decayed by exactly one full 0.95 in total
+    np.testing.assert_allclose(d[8:], 0.95, rtol=1e-5)
+
+
+def test_executor_phased_refresh_trains(tmp_path):
+    """occ_phased_refresh wires through the executor and stays finite."""
+    from nerfpp_tpu.config import hashnerf_preset, TrainParams
+    from nerfpp_tpu.data.synthetic import make_synthetic_scene
+    from nerfpp_tpu.executor import NeRFExecutor
+
+    scene = make_synthetic_scene(n_train=2, n_val=1, n_test=1, image_hw=16)
+    p = hashnerf_preset(n_importance=0, log2_hashmap_size=10, n_levels=4,
+                        finest_resolution=32, use_occupancy_grid=True,
+                        occ_grid_resolution=16, occ_update_every=2,
+                        occ_n_bins=8, occ_phased_refresh=True,
+                        occ_phased_warmup=2)
+    tp = TrainParams(n_samples=8, n_rand=128, n_iters=5, chunk=128,
+                     i_print=0, i_weights=0, i_testset=0, i_img=0,
+                     base_dir=str(tmp_path / "ph"))
+    ex = NeRFExecutor(p)
+    ex.white_bkgr = scene.white_bkgr
+    ex.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+    m = ex.train(scene, tp)
+    assert np.isfinite(m["loss"])
