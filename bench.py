@@ -208,10 +208,10 @@ def main() -> None:
         print(f"kernel profile failed: {e}", file=sys.stderr)
 
     # ---- render throughput (800x800 full frame, tile-ordered) -------------
-    # default = budgeted b25/sp8 at full NSamples (measured -0.14 dB); the
-    # "fast" mode trades ~0.5 dB for ~2x (PERFORMANCE.md render table)
-    for tag, frac, sparse, n_s in (("render", 0.25, 4, 64),
-                                   ("render_fast", 0.25, 4, 32)):
+    # default = budgeted b20/sp2 at full NSamples (measured BEST PSNR of all
+    # variants, profile_render.py bench8); "fast" trades ~0.3 dB for ~1.4x
+    for tag, frac, sparse, n_s in (("render", 0.20, 2, 64),
+                                   ("render_fast", 0.20, 2, 32)):
         exq.params.render_dense_frac = frac
         exq.params.render_sparse_samples = sparse
         exq._render_cache = {}

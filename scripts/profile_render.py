@@ -100,6 +100,46 @@ def main():
                   f"{1e3*(t2-t1):.0f} ms", flush=True)
         return
 
+    if mode == "bench8":
+        # EXACT bench semantics: sync only the device-quantized uint8 image
+        # (the PNG artifact), not the f32 maps — the tunnel D2H is ~60 MB/s,
+        # so "variants" (full-output sync) overstates frame time by ~400 ms
+        def run8(tag, frac, sparse, n_s, ch, pb=32):
+            ex.params.render_dense_frac = frac
+            ex.params.render_sparse_samples = sparse
+            ex.params.render_prior_bins = pb
+            ex._render_cache = {}
+            tpr = TrainParams(n_samples=n_s, n_rand=4096, chunk=ch)
+            out = ex.render_view(v.pose, v.h, v.w, v.k, tpr)
+            np.asarray(out["rgb8"])
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = ex.render_view(v.pose, v.h, v.w, v.k, tpr)
+                rgb8 = np.asarray(out["rgb8"])
+                best = min(best, time.perf_counter() - t0)
+            rgb = rgb8.astype(np.float32) / 255.0
+            psnr = float(-10 * np.log10(max(float(np.mean((rgb - gt) ** 2)),
+                                            1e-10)))
+            print(f"{tag}: {v.h * v.w / best / 1e6:.3f} Mpix/s | "
+                  f"{psnr:.2f} dB | {best * 1e3:.0f} ms", flush=True)
+        if len(sys.argv) > 2 and sys.argv[2] == "aggressive":
+            run8("b20_sp4_ns32_pb32", 0.20, 4, 32, 65536)
+            run8("b15_sp4_ns64_pb32", 0.15, 4, 64, 65536)
+            run8("b20_sp2_ns64_pb32", 0.20, 2, 64, 65536)
+            run8("b20_sp4_ns48_pb32", 0.20, 4, 48, 65536)
+            return
+        if len(sys.argv) > 2 and sys.argv[2] == "final":
+            run8("b20_sp2_ns32_pb32", 0.20, 2, 32, 65536)
+            run8("b25_sp2_ns64_pb32", 0.25, 2, 64, 65536)
+            return
+        run8("b25_sp4_ns64_pb32 (bench default)", 0.25, 4, 64, 65536)
+        run8("b25_sp4_ns32_pb32 (bench fast)", 0.25, 4, 32, 65536)
+        run8("b25_sp8_ns64_pb32", 0.25, 8, 64, 65536)
+        run8("b20_sp4_ns64_pb32", 0.20, 4, 64, 65536)
+        run8("b25_sp4_ns48_pb32", 0.25, 4, 48, 65536)
+        return
+
     if mode == "variants":
         run("b25_sp4_ns64_pb-64 (no narrow)", 0.25, 4, 64, 65536, pb=-64)
         run("b25_sp4_ns64_pb32", 0.25, 4, 64, 65536, pb=32)
