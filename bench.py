@@ -207,6 +207,48 @@ def main() -> None:
     except Exception as e:  # profile must not sink the bench
         print(f"kernel profile failed: {e}", file=sys.stderr)
 
+    # ---- step-time decomposition via ablation (VERDICT r2 #8) -------------
+    # re-time the trained-state step with one subsystem disabled at a time;
+    # the deltas are the subsystem's true amortized cost (direct stage
+    # timing can't see through the fused jit). Encode share is derived from
+    # the measured kernel rates on the budgeted per-step point count.
+    try:
+        prof_steps = {}
+        for nm, ov in (("no_occ_refresh", dict(occ_update_every=1 << 30)),
+                       ("tile_budget_off", dict(occ_tile_budget_frac=0.0))):
+            p2 = hashnerf_blocked_preset(n_importance=0,
+                                         use_occupancy_grid=True,
+                                         occ_update_every=32, **ov)
+            ex2 = NeRFExecutor(p2)
+            ex2.white_bkgr = scene.white_bkgr
+            ex2.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+            many2 = ex2._build_train_many(ex2._build_train_step(tp))
+            st2, m2 = many2(stateq, sampler, key, k=25)
+            _sync(jax, m2)
+            t0 = time.perf_counter()
+            for _ in range(2):
+                st2, m2 = many2(st2, sampler, key, k=25)
+            _sync(jax, m2)
+            prof_steps[nm] = (time.perf_counter() - t0) / 50 * 1e3
+        full_ms = dt * 1e3
+        # per-step encoded points under the training tile budget (dense half
+        # at n_samples, sparse half at occ_sparse_samples), fwd AND bwd
+        pts_step = (tp.n_rand // 2) * tp.n_samples \
+            + (tp.n_rand // 2) * ex.params.occ_sparse_samples
+        sp = {"full": round(full_ms, 2),
+              "occ_refresh_amortized":
+                  round(full_ms - prof_steps["no_occ_refresh"], 2),
+              "tile_budget_saving":
+                  round(prof_steps["tile_budget_off"] - full_ms, 2)}
+        if "fwd" in prof:
+            sp["encode_fwd_bwd_est"] = round(
+                pts_step / (prof["fwd"] * 1e6) * 1e3
+                + pts_step / (prof["bwd"] * 1e6) * 1e3, 2)
+        extras["step_profile_ms"] = sp
+        print(f"step profile (ms): {sp}", file=sys.stderr)
+    except Exception as e:
+        print(f"step decomposition failed: {e}", file=sys.stderr)
+
     # ---- render throughput (800x800 full frame, tile-ordered) -------------
     # default = budgeted b20/sp2 at full NSamples (measured BEST PSNR of all
     # variants, profile_render.py bench8); "fast" trades ~0.3 dB for ~1.4x
@@ -243,7 +285,7 @@ def main() -> None:
                 ("reference_workload_tiled_cdf", 128, 0.0, 0),
                 # + two-class fine-pass budget ranked by the coarse pass
                 # itself (PSNR-neutral, PERFORMANCE.md hier-budget study)
-                ("reference_workload_hier_budget", 128, 0.25, 32)):
+                ("reference_workload_hier_budget", 128, 0.25, 16)):
             pr = hashnerf_blocked_preset(n_importance=192,
                                          hier_ray_tile=tile,
                                          hier_tile_budget_frac=hfrac,

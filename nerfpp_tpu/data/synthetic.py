@@ -30,35 +30,78 @@ _PRIMS = np.array([
     [-0.25, -0.3, -0.5, 0.2,          0.7, 0.3, 0.85,  33.0,  0],
 ], np.float32)
 
+# "thin" variant: anisotropic half-extents (sx, sy, sz) — rods down to 0.02
+# half-width, a plate 0.015 thick, plus two bulk prims — the geometry class
+# where tile-shared CDFs / sample budgets / subsampled probes are known to
+# fail first (a thin rod contributes almost nothing to a tile's MEAN weight
+# yet must still be sampled). Used by scripts/quality_two_scenes.py to check
+# the flagship recipe's conclusions transfer beyond the default blob scene.
+# (center xyz, half-extents xyz, rgb, sigma, kind)
+_PRIMS_THIN = np.array([
+    [0.0, 0.0, 0.0,     0.35, 0.35, 0.35,  0.85, 0.3, 0.2,  28.0, 0],
+    [0.0, 0.0, 0.55,    0.02, 0.02, 0.55,  0.95, 0.9, 0.2,  60.0, 1],
+    [0.45, -0.3, 0.0,   0.02, 0.6, 0.02,   0.2, 0.9, 0.5,   60.0, 1],
+    [-0.5, 0.3, 0.1,    0.5, 0.015, 0.4,   0.3, 0.5, 0.95,  55.0, 1],
+    [0.35, 0.45, -0.35, 0.18, 0.18, 0.18,  0.9, 0.6, 0.15,  35.0, 0],
+    [-0.3, -0.5, -0.3,  0.025, 0.025, 0.45, 0.8, 0.25, 0.9, 60.0, 1],
+], np.float32)
 
-def scene_field(pts: jnp.ndarray):
-    """Ground-truth field. pts [..., 3] -> (sigma [...], rgb [..., 3])."""
-    prims = jnp.asarray(_PRIMS)
+
+# normalize the legacy [P, 9] scalar-size layout to the anisotropic
+# [P, 11] one: center(3), half-extents(3), color(3), sigma, kind
+_PRIMS_ANISO = np.concatenate(
+    [_PRIMS[:, 0:3], np.repeat(_PRIMS[:, 3:4], 3, axis=1), _PRIMS[:, 4:9]],
+    axis=1).astype(np.float32)
+
+_VARIANTS = {"default": _PRIMS_ANISO, "thin": _PRIMS_THIN}
+
+
+def _field_from_prims(prims: jnp.ndarray, pts: jnp.ndarray,
+                      textured: bool = False):
+    """(sigma [...], rgb [..., 3]) from a [P, 11] anisotropic prim table.
+
+    ``textured`` modulates each prim's color with a position-frequency
+    stripe pattern (high-frequency appearance content — exercises encoder
+    capacity the flat-color prims don't).
+    """
     centers = prims[:, 0:3]
-    sizes = prims[:, 3]
-    colors = prims[:, 4:7]
-    sigmas = prims[:, 7]
-    kinds = prims[:, 8]
+    sizes = prims[:, 3:6]
+    colors = prims[:, 6:9]
+    sigmas = prims[:, 9]
+    kinds = prims[:, 10]
 
     rel = pts[..., None, :] - centers          # [..., P, 3]
-    # soft interior indicator: distance metric per kind
-    d_sphere = jnp.linalg.norm(rel, axis=-1) / sizes
-    d_box = jnp.max(jnp.abs(rel), axis=-1) / sizes
+    # soft interior indicator: distance metric per kind (anisotropic:
+    # normalize per-axis — spheres become ellipsoids, boxes cuboids)
+    d_sphere = jnp.linalg.norm(rel / sizes, axis=-1)
+    d_box = jnp.max(jnp.abs(rel) / sizes, axis=-1)
     d = jnp.where(kinds > 0.5, d_box, d_sphere)        # [..., P]
     inside = jax.nn.sigmoid((1.0 - d) * 40.0)          # smooth boundary
     sigma = jnp.sum(sigmas * inside, axis=-1)
+    if textured:
+        stripe = 0.75 + 0.25 * jnp.sin(
+            14.0 * pts[..., 0] + 11.0 * pts[..., 1] + 9.0 * pts[..., 2])
+        colors = colors * stripe[..., None, None]
     w = inside + 1e-8
-    rgb = jnp.sum(w[..., None] * colors, axis=-2) / jnp.sum(w, axis=-1)[..., None]
+    rgb = jnp.sum(w[..., None] * colors, axis=-2) \
+        / jnp.sum(w, axis=-1)[..., None]
     return sigma, jnp.clip(rgb, 0.0, 1.0)
+
+
+def scene_field(pts: jnp.ndarray, variant: str = "default",
+                textured: bool = False):
+    """Ground-truth field. pts [..., 3] -> (sigma [...], rgb [..., 3])."""
+    return _field_from_prims(jnp.asarray(_VARIANTS[variant]), pts, textured)
 
 
 def render_gt_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                    near: float, far: float, n_samples: int = 256,
-                   white_bkgr: bool = True) -> jnp.ndarray:
+                   white_bkgr: bool = True, variant: str = "default",
+                   textured: bool = False) -> jnp.ndarray:
     """Analytically composite the ground-truth field along rays. [..., 3] rgb."""
     t = jnp.linspace(near, far, n_samples, dtype=jnp.float32)
     pts = rays_o[..., None, :] + rays_d[..., None, :] * t[:, None]
-    sigma, rgb = scene_field(pts)
+    sigma, rgb = scene_field(pts, variant, textured)
     dists = jnp.diff(t, append=t[-1] + (far - near) / n_samples)
     dists = dists * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     alpha = 1.0 - jnp.exp(-sigma * dists)
@@ -72,8 +115,15 @@ def render_gt_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
 def make_synthetic_scene(n_train: int = 24, n_val: int = 2, n_test: int = 4,
                          image_hw: int = 64, n_samples: int = 256,
                          radius: float = 3.0, seed: int = 0,
-                         white_bkgr: bool = True) -> SceneData:
-    """Build a SceneData with rendered ground-truth images on a view sphere."""
+                         white_bkgr: bool = True, variant: str = "default",
+                         textured: bool = False) -> SceneData:
+    """Build a SceneData with rendered ground-truth images on a view sphere.
+
+    ``variant="thin"`` swaps in the thin-structures prim set (rods/plates
+    down to 0.015 half-width) and ``textured=True`` adds high-frequency
+    stripe appearance — the second scene used to check that sampling-
+    strategy conclusions measured on the default scene transfer.
+    """
     rng = np.random.RandomState(seed)
     h = w = image_hw
     focal = 1.1 * image_hw
@@ -108,7 +158,8 @@ def make_synthetic_scene(n_train: int = 24, n_val: int = 2, n_test: int = 4,
         flat_d = jnp.pad(flat_d, ((0, pad), (0, 0)))
         out = jax.lax.map(
             lambda args: render_gt_rays(args[0], args[1], near, far,
-                                        n_samples, white_bkgr),
+                                        n_samples, white_bkgr,
+                                        variant, textured),
             (flat_o.reshape(-1, chunk, 3), flat_d.reshape(-1, chunk, 3)))
         return out.reshape(-1, 3)[:n].reshape(h, w, 3)
 

@@ -19,12 +19,19 @@ from quality_tile_budget import load_scene
 def main():
     scene = load_scene()
     key = jax.random.PRNGKey(1)
-    for tag, tile, frac, sparse in (
-            ("per-ray CDF (reference semantics)", 0, 0.0, 0),
+    import sys
+    grid = (("per-ray CDF (reference semantics)", 0, 0.0, 0),
             ("tiled CDF", 128, 0.0, 0),
             ("tiled + budget 0.5/32", 128, 0.5, 32),
             ("tiled + budget 0.25/32", 128, 0.25, 32),
-            ("tiled + budget 0.5/64", 128, 0.5, 64)):
+            ("tiled + budget 0.5/64", 128, 0.5, 64))
+    if len(sys.argv) > 1 and sys.argv[1] == "push":
+        grid = (("tiled + budget 0.25/32 (ctl)", 128, 0.25, 32),
+                ("tiled + budget 0.25/16", 128, 0.25, 16),
+                ("tiled + budget 0.2/32", 128, 0.2, 32),
+                ("tiled + budget 0.2/16", 128, 0.2, 16),
+                ("tiled + budget 0.15/32", 128, 0.15, 32))
+    for tag, tile, frac, sparse in grid:
         pr = hashnerf_blocked_preset(n_importance=192, hier_ray_tile=tile,
                                      hier_tile_budget_frac=frac,
                                      hier_sparse_importance=sparse)

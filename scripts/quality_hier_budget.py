@@ -54,6 +54,14 @@ def main():
         print(f"{tag}: PSNR {psnr:.2f} dB | steady {rps:,.0f} rays/s | "
               f"train wall {wall:.0f}s", flush=True)
 
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "push":
+        # round-3 throughput push candidates (bench_hier_budget.py push:
+        # 0.25/16 = 81.2k, 0.2/16 = 84.2k rays/s at NRand 16384)
+        run("C_frac0.25_sp32 (ctl)", 128, 0.25, 32)
+        run("D_frac0.25_sp16", 128, 0.25, 16)
+        run("E_frac0.2_sp16", 128, 0.2, 16)
+        return
     run("A_tiled_frac0", 128, 0.0, 0)
     run("B_frac0.5_sp32", 128, 0.5, 32)
     run("C_frac0.25_sp32", 128, 0.25, 32)

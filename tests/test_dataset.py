@@ -95,6 +95,39 @@ def test_synthetic_gt_consistency():
     assert not np.allclose(scene.images[0], scene.images[1])
 
 
+def test_synthetic_variants():
+    """The thin/textured variant builds and genuinely differs from the
+    default; the default field is unchanged by the anisotropic refactor
+    (regression: the anisotropic prim table must reduce to the legacy
+    scalar-size formula when sizes are isotropic)."""
+    import jax
+    import jax.numpy as jnp
+    from nerfpp_tpu.data.synthetic import _PRIMS, scene_field
+
+    thin = make_synthetic_scene(n_train=3, n_val=1, n_test=1, image_hw=16,
+                                n_samples=32, variant="thin", textured=True)
+    base = _tiny_scene()
+    assert np.isfinite(thin.images).all()
+    assert not np.allclose(thin.images, base.images)
+
+    pts = jnp.asarray(np.random.RandomState(0)
+                      .uniform(-1.2, 1.2, (512, 3)).astype(np.float32))
+    sig, rgb = scene_field(pts)
+    prims = jnp.asarray(_PRIMS)
+    rel = pts[:, None, :] - prims[:, 0:3]
+    d_s = jnp.linalg.norm(rel, axis=-1) / prims[:, 3]
+    d_b = jnp.max(jnp.abs(rel), axis=-1) / prims[:, 3]
+    d = jnp.where(prims[:, 8] > 0.5, d_b, d_s)
+    inside = jax.nn.sigmoid((1.0 - d) * 40.0)
+    sig0 = jnp.sum(prims[:, 7] * inside, axis=-1)
+    w = inside + 1e-8
+    rgb0 = jnp.clip(jnp.sum(w[..., None] * prims[:, 4:7], axis=-2)
+                    / jnp.sum(w, -1)[..., None], 0, 1)
+    np.testing.assert_allclose(np.asarray(sig), np.asarray(sig0),
+                               atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb0), atol=1e-5)
+
+
 def test_view_json_distortion_roundtrip():
     v = View(id=0, h=4, w=4, focal=2.0, near=0.1, far=2.0,
              k=np.eye(3, dtype=np.float32), pose=np.eye(4, dtype=np.float32),
