@@ -125,6 +125,12 @@ class ExecutorParams:
     # stale prior misplaces samples (measured -5 dB on 1/3 seeds unwarmed)
     occ_phased_warmup: int = 1024
     occ_ray_tile: int = 128           # share one CDF per N rays (0 = per-ray)
+    # full-sampling steps before the tile budgets engage: the class split
+    # starves DISCOVERY of structures living in sparse-class tiles (thin
+    # geometry: measured -5 dB unwarmed on the thin scene variant,
+    # scripts/quality_two_scenes.py); trained-state throughput is unaffected
+    occ_tile_budget_warmup: int = 1024
+    hier_budget_warmup: int = 0       # coarse pass already covers every ray
     # two-class per-tile sample budget (renderer.render_ray_batch_budgeted):
     # the top occ_tile_budget_frac of each batch's tiles by occupancy mass
     # get NSamples; the rest (empty space) get occ_sparse_samples. 0 = off.
@@ -200,6 +206,8 @@ class ExecutorParams:
         "occ_phased_refresh": "occ_phased_refresh",
         "occ_phased_warmup": "occ_phased_warmup",
         "occ_ray_tile": "occ_ray_tile",
+        "occ_tile_budget_warmup": "occ_tile_budget_warmup",
+        "hier_budget_warmup": "hier_budget_warmup",
         "occ_tile_budget_frac": "occ_tile_budget_frac",
         "occ_sparse_samples": "occ_sparse_samples",
         "render_dense_frac": "render_dense_frac",

@@ -385,34 +385,66 @@ class NeRFExecutor:
                     cb = mesh_utils.shard_rays(cb, mesh)
                     sums = {}
                     if p.use_nerf and (use_budget or use_hier_budget):
-                        if use_budget:
-                            res_d, res_s, idx_d, idx_s = \
-                                render_ray_batch_budgeted(
-                                    params, nerf_network_fn,
-                                    nerf_integrate_fn,
-                                    cb["rays_o"], cb["rays_d"],
-                                    cb["cone_angle"],
-                                    kr, cfg, bbox, raw_noise_std, sp_alpha,
-                                    occupancy=occ,
-                                    dense_frac=p.occ_tile_budget_frac,
-                                    sparse_samples=p.occ_sparse_samples)
-                        else:
-                            res_d, res_s, idx_d, idx_s = \
-                                render_ray_batch_hier_budgeted(
-                                    params, nerf_network_fn,
-                                    nerf_integrate_fn,
-                                    cb["rays_o"], cb["rays_d"],
-                                    cb["cone_angle"],
-                                    kr, cfg, bbox, raw_noise_std, sp_alpha,
-                                    dense_frac=p.hier_tile_budget_frac,
-                                    sparse_importance=p.hier_sparse_importance)
-                        target = jax.lax.stop_gradient(cb["target_rgb"])
-                        sq = hub = 0.0
-                        for res, idx in ((res_d, idx_d), (res_s, idx_s)):
+                        def budgeted_sums(a):
+                            cb, kr = a
+                            if use_budget:
+                                res_d, res_s, idx_d, idx_s = \
+                                    render_ray_batch_budgeted(
+                                        params, nerf_network_fn,
+                                        nerf_integrate_fn,
+                                        cb["rays_o"], cb["rays_d"],
+                                        cb["cone_angle"],
+                                        kr, cfg, bbox, raw_noise_std,
+                                        sp_alpha, occupancy=occ,
+                                        dense_frac=p.occ_tile_budget_frac,
+                                        sparse_samples=p.occ_sparse_samples)
+                            else:
+                                res_d, res_s, idx_d, idx_s = \
+                                    render_ray_batch_hier_budgeted(
+                                        params, nerf_network_fn,
+                                        nerf_integrate_fn,
+                                        cb["rays_o"], cb["rays_d"],
+                                        cb["cone_angle"],
+                                        kr, cfg, bbox, raw_noise_std,
+                                        sp_alpha,
+                                        dense_frac=p.hier_tile_budget_frac,
+                                        sparse_importance=
+                                        p.hier_sparse_importance)
+                            target = jax.lax.stop_gradient(cb["target_rgb"])
+                            sq = hub = 0.0
+                            for res, idx in ((res_d, idx_d), (res_s, idx_s)):
+                                rgb = res.outputs.rgb
+                                t = target[idx]
+                                sq = sq + jnp.sum((rgb - t) ** 2)
+                                hub = hub + jnp.sum(huber_loss(rgb, t))
+                            return sq, hub
+
+                        def full_sums(a):
+                            cb, kr = a
+                            res = render_ray_batch(
+                                params, nerf_network_fn, nerf_integrate_fn,
+                                cb["rays_o"], cb["rays_d"], cb["cone_angle"],
+                                kr, cfg, bbox, raw_noise_std, sp_alpha,
+                                occupancy=occ if use_occ else None)
                             rgb = res.outputs.rgb
-                            t = target[idx]
-                            sq = sq + jnp.sum((rgb - t) ** 2)
-                            hub = hub + jnp.sum(huber_loss(rgb, t))
+                            target = jax.lax.stop_gradient(cb["target_rgb"])
+                            return (jnp.sum((rgb - target) ** 2),
+                                    jnp.sum(huber_loss(rgb, target)))
+
+                        # budget warmup: the class split starves DISCOVERY —
+                        # a thin structure in a sparse-class tile is never
+                        # sampled densely, so the field never learns it, so
+                        # the grid never promotes its tile (measured: -5 dB
+                        # on the thin scene with no warmup; the trained-state
+                        # throughput the budget buys is unaffected by full
+                        # sampling during the first steps)
+                        warm = int(p.occ_tile_budget_warmup
+                                   if use_budget else p.hier_budget_warmup)
+                        if warm > 0:
+                            sq, hub = jax.lax.cond(step < warm, full_sums,
+                                                   budgeted_sums, (cb, kr))
+                        else:
+                            sq, hub = budgeted_sums((cb, kr))
                         sums["sq_sum"] = sq
                         sums["huber_sum"] = hub
                     elif p.use_nerf:
