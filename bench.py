@@ -252,8 +252,11 @@ def main() -> None:
     # ---- render throughput (800x800 full frame, tile-ordered) -------------
     # default = budgeted b20/sp2 at full NSamples (measured BEST PSNR of all
     # variants, profile_render.py bench8); "fast" trades ~0.3 dB for ~1.4x
+    # "render_auto": dense_frac < 0 — the executor probes the view's
+    # occupancy masses and picks the fraction itself (no scene-tuned knob)
     for tag, frac, sparse, n_s in (("render", 0.20, 2, 64),
-                                   ("render_fast", 0.20, 2, 32)):
+                                   ("render_fast", 0.20, 2, 32),
+                                   ("render_auto", -1.0, 2, 64)):
         exq.params.render_dense_frac = frac
         exq.params.render_sparse_samples = sparse
         exq._render_cache = {}

@@ -174,8 +174,15 @@ def cmd_render(args) -> None:
     else:
         poses = [scene.views[i].pose for i in scene.split_indices("test")] \
             or [v.pose for v in scene.views[:args.n_poses]]
+    mesh = None
+    if args.n_devices != 1:
+        import jax
+        from nerfpp_tpu.parallel import mesh as mesh_utils
+        n = args.n_devices if args.n_devices > 0 else jax.device_count()
+        mesh = mesh_utils.make_mesh(n)
+        print(f"view-parallel render over {n} devices: {mesh}")
     out_dir = Path(tp.base_dir) / "renders"
-    ex.render_path(poses, v0.h, v0.w, v0.k, tp, out_dir)
+    ex.render_path(poses, v0.h, v0.w, v0.k, tp, out_dir, mesh=mesh)
     print(f"wrote {len(poses)} renders to {out_dir}")
 
 

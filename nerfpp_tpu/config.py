@@ -137,7 +137,9 @@ class ExecutorParams:
     occ_tile_budget_frac: float = 0.0
     occ_sparse_samples: int = 16
     # render-time two-class budget (render_image): background tiles render
-    # at render_sparse_samples. 0 = off. Independent of the training budget.
+    # at render_sparse_samples. 0 = off; < 0 = AUTO — the executor probes
+    # each view's occupancy tile masses and picks the fraction itself
+    # (executor._auto_dense_frac), removing the scene-dependent knob.
     # (sparse 4 measured PSNR-neutral vs 8 and ~10% faster on the 800px
     # scene — background tiles are genuinely empty once ranked.)
     render_dense_frac: float = 0.0

@@ -49,7 +49,8 @@ from nerfpp_tpu.models.nerf_mlp import NeRFMLP
 from nerfpp_tpu.models.nerf_small import NeRFSmall
 from nerfpp_tpu.render import lerf as lerf_render
 from nerfpp_tpu.render.renderer import (RenderConfig, make_nerf_integrate_fn,
-                                        make_nerf_network_fn, render_image,
+                                        make_nerf_network_fn, probe_tile_mass,
+                                        render_image,
                                         render_ray_batch,
                                         render_ray_batch_budgeted,
                                         render_ray_batch_hier_budgeted)
@@ -583,7 +584,8 @@ class NeRFExecutor:
             # reload weights (done in initialize via ft_path) and render the
             # test split — the RenderOnly branch the reference declares but
             # never implements (NeRFExecutor.h:185, SURVEY.md §3.5)
-            self.render_test_split(scene, tp, base_dir / "renderonly")
+            self.render_test_split(scene, tp, base_dir / "renderonly",
+                                   mesh=mesh)
             return {}
 
         if sampler is None:
@@ -653,7 +655,7 @@ class NeRFExecutor:
             if (tp.i_testset > 0 and i % tp.i_testset == 0 and i > 0
                     and not tp.test_skip):
                 self.state = state
-                self.render_test_split(scene, tp, base_dir)
+                self.render_test_split(scene, tp, base_dir, mesh=mesh)
 
             if tp.i_img > 0 and i % tp.i_img == 0 and i > 0:
                 self.state = state
@@ -698,7 +700,17 @@ class NeRFExecutor:
         bbox = jnp.asarray(self.bounding_box)
         out: Dict[str, Any] = {}
         if self.params.use_nerf:
-            fn = self._jitted_render(h, w, cfg, "nerf", with_relevancy)
+            dense_frac = None
+            if (self.params.use_occupancy_grid
+                    and self.params.render_dense_frac < 0
+                    and self.params.occ_n_bins > 0 and not cfg.ndc
+                    and cfg.tile_order):
+                # render_dense_frac < 0 = auto: derive the dense fraction
+                # from this view's occupancy tile masses (bucketed so the
+                # compile cache stays small)
+                dense_frac = self._auto_dense_frac(h, w, k, pose)
+            fn = self._jitted_render(h, w, cfg, "nerf", with_relevancy,
+                                     dense_frac=dense_frac)
             args = ((self.state["occupancy"],)
                     if self.params.use_occupancy_grid else ())
             res, near_far, rgb8 = fn(self.state["params"], jnp.asarray(k),
@@ -716,15 +728,72 @@ class NeRFExecutor:
             out["lerf"] = lres
         return out
 
+    def _auto_dense_frac(self, h: int, w: int, k, pose) -> float:
+        """Pick the render budget's dense fraction from the scene itself:
+        count the tiles whose cheap-probe occupancy mass clears 2% of the
+        view's peak (the same threshold the prior narrowing uses), pad by
+        25% + 2 tiles against probe misranking, and bucket k_dense to
+        n_tiles/32 granularity so distinct views share compiles."""
+        th, tw = 8, 16
+        hp, wp = -(-h // th) * th, -(-w // tw) * tw
+        n_tiles = hp * wp // 128
+        if n_tiles < 2:
+            return 0.0                       # budget needs >= 2 tiles
+        if not hasattr(self, "_probe_cache"):
+            self._probe_cache = {}
+        fn = self._probe_cache.get((h, w))
+        if fn is None:
+            bbox = jnp.asarray(self.bounding_box)
+
+            @jax.jit
+            def fn(k_, pose_, occ):
+                return probe_tile_mass(occ, h, w, k_, pose_, bbox)
+
+            self._probe_cache[(h, w)] = fn
+        m = np.asarray(fn(jnp.asarray(k), jnp.asarray(pose),
+                          self.state["occupancy"]))
+        peak = float(m.max())
+        # an empty/untrained grid (peak 0) gives no ranking signal: render
+        # everything dense rather than trust a meaningless split
+        occupied = int((m > 0.02 * peak).sum()) if peak > 0 else n_tiles
+        kd = int(np.ceil(1.25 * occupied)) + 2
+        step = max(1, n_tiles // 32)
+        kd = -(-kd // step) * step
+        kd = min(max(kd, 1), n_tiles - 1)
+        # round(frac * n_tiles) inside render_image recovers kd exactly
+        return kd / n_tiles
+
     def _jitted_render(self, h: int, w: int, cfg: RenderConfig, branch: str,
-                       with_relevancy: bool):
+                       with_relevancy: bool, dense_frac: float = None,
+                       mesh=None):
         """Cache one compiled full-image renderer per (h, w, cfg, branch) —
         full-image rendering is a single device dispatch, not an eager op
         stream (the per-op dispatch latency through jit boundaries dominates
-        otherwise)."""
+        otherwise). ``dense_frac`` overrides params.render_dense_frac (the
+        auto path resolves it per view before compiling).
+
+        With ``mesh``, the returned fn renders a BATCH of views — signature
+        (params, k, poses [V,...], keys [V,2][, occ]) — vmapped over views
+        with the view axis sharded over the mesh's data axis: views are
+        embarrassingly parallel, so XLA partitions each view onto its own
+        chip with no collectives (the multi-chip RenderPath; the reference's
+        render loop, NeRFExecutor.h:656-737, is strictly sequential)."""
         if not hasattr(self, "_render_cache"):
             self._render_cache = {}
-        cache_key = (h, w, cfg, branch, with_relevancy)
+        # resolve the budget knobs BEFORE keying the cache: they are baked
+        # into the trace, so mutating params must miss, not hit stale code
+        budget_key = None
+        if branch == "nerf" and self.params.use_occupancy_grid:
+            if dense_frac is None:
+                dense_frac = self.params.render_dense_frac
+            # a negative (auto) value that was not resolved by render_view
+            # (e.g. NDC or non-tile-order config) means budget off
+            dense_frac = max(dense_frac, 0.0)
+            budget_key = (dense_frac, self.params.render_sparse_samples,
+                          getattr(self.params, "render_prior_bins", 0))
+        mesh_key = (None if mesh is None else
+                    tuple(d.id for d in mesh.devices.flat))
+        cache_key = (h, w, cfg, branch, with_relevancy, budget_key, mesh_key)
         if cache_key in self._render_cache:
             return self._render_cache[cache_key]
 
@@ -745,38 +814,125 @@ class NeRFExecutor:
                         + 0.5).astype(jnp.uint8)
             return res, nf, rgb8
 
-        if branch == "nerf" and self.params.use_occupancy_grid:
-            dense_frac = self.params.render_dense_frac
-            sparse_s = self.params.render_sparse_samples
-            prior_b = getattr(self.params, "render_prior_bins", 0)
+        use_budget = branch == "nerf" and self.params.use_occupancy_grid
+        if use_budget:
+            dense_frac, sparse_s, prior_b = budget_key
+
+        def render_one(params, k, pose, key, *occ):
+            kw = {}
+            if use_budget:
+                kw = dict(occupancy=occ[0], dense_frac=dense_frac,
+                          sparse_samples=sparse_s, prior_bins=prior_b)
+            return _with_rgb8(*render_image(
+                params, network_fn, integrate_fn, h, w, k,
+                pose, key, used_cfg, bbox, **kw))
+
+        if mesh is None:
+            fn = jax.jit(render_one)
+        else:
+            vsh = mesh_utils.batch_sharding(mesh)
 
             @jax.jit
-            def fn(params, k, pose, key, occ):
-                return _with_rgb8(*render_image(
-                    params, network_fn, integrate_fn, h, w, k,
-                    pose, key, used_cfg, bbox, occupancy=occ,
-                    dense_frac=dense_frac, sparse_samples=sparse_s,
-                    prior_bins=prior_b))
-        else:
-            @jax.jit
-            def fn(params, k, pose, key):
-                return _with_rgb8(*render_image(
-                    params, network_fn, integrate_fn, h, w, k,
-                    pose, key, used_cfg, bbox))
+            def fn(params, k, poses, keys, *occ):
+                params = mesh_utils.replicate_tree(params, mesh)
+                poses = jax.lax.with_sharding_constraint(poses, vsh)
+                keys = jax.lax.with_sharding_constraint(keys, vsh)
+                out = jax.vmap(
+                    lambda pose, key: render_one(params, k, pose, key, *occ)
+                )(poses, keys)
+                # pin every per-view output to the view sharding so XLA keeps
+                # the whole pipeline partitioned instead of gathering early
+                return jax.tree.map(
+                    lambda x: (jax.lax.with_sharding_constraint(x, vsh)
+                               if hasattr(x, "ndim") and x.ndim >= 1
+                               and x.shape[0] == poses.shape[0] else x), out)
 
         self._render_cache[cache_key] = fn
         return fn
 
+    def render_views(self, poses, h: int, w: int, k, tp: TrainParams,
+                     mesh=None, key: Optional[jax.Array] = None,
+                     with_relevancy: bool = True):
+        """Render a list of views; with a ``mesh``, mesh.size views render
+        CONCURRENTLY, one per chip (view-axis data parallelism — views are
+        embarrassingly parallel so the partitioned program needs no
+        collectives). Returns a list of per-view dicts shaped like
+        ``render_view``'s output. The reference's RenderPath
+        (NeRFExecutor.h:656-737) renders strictly sequentially."""
+        if mesh is None or mesh.devices.size == 1 or len(poses) == 1:
+            return [self.render_view(p, h, w, k, tp,
+                                     key=key, with_relevancy=with_relevancy)
+                    for p in poses]
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        if tp.render_factor > 0:
+            f = int(tp.render_factor)
+            h, w = h // f, w // f
+            k = np.asarray(k).copy()
+            k[0, 0] /= f
+            k[1, 1] /= f
+            k[0, 2] /= f
+            k[1, 2] /= f
+        cfg = self.make_render_config(tp, train=False)
+        d = int(mesh.devices.size)
+        n_views = len(poses)
+        # pad the last group by repeating the final pose: one wasted parallel
+        # render beats a second 1-view compile (~minutes on a cold cache)
+        n_pad = -(-n_views // d) * d - n_views
+        poses_np = np.stack([np.asarray(p) for p in poses]
+                            + [np.asarray(poses[-1])] * n_pad)
+        fn = lfn = None
+        occ = ()
+        if self.params.use_nerf:
+            dense_frac = None
+            if (self.params.use_occupancy_grid
+                    and self.params.render_dense_frac < 0
+                    and self.params.occ_n_bins > 0 and not cfg.ndc
+                    and cfg.tile_order):
+                # auto budget for a batch: the MAX over the group's per-view
+                # fractions (safe for every view; one shared compile)
+                dense_frac = max(self._auto_dense_frac(h, w, k, p)
+                                 for p in poses)
+            fn = self._jitted_render(h, w, cfg, "nerf", with_relevancy,
+                                     dense_frac=dense_frac, mesh=mesh)
+            occ = ((self.state["occupancy"],)
+                   if self.params.use_occupancy_grid else ())
+        if self.params.use_lerf:
+            lfn = self._jitted_render(h, w, cfg, "lerf", with_relevancy,
+                                      mesh=mesh)
+        keys = jnp.tile(key[None], (d, 1))
+        outs: list = []
+        for g in range(0, len(poses_np), d):
+            pg = jnp.asarray(poses_np[g:g + d])
+            group: list = [dict() for _ in range(min(d, n_views - g))]
+            if fn is not None:
+                res, nf, rgb8 = fn(self.state["params"], jnp.asarray(k),
+                                   pg, keys, *occ)
+                for j, o in enumerate(group):
+                    o["nerf"] = jax.tree.map(lambda x: x[j], res)
+                    o["near_far"] = (nf[0][j], nf[1][j])
+                    o["rgb8"] = rgb8[j]
+            if lfn is not None:
+                lres = lfn(self.state["params"], jnp.asarray(k), pg, keys)[0]
+                for j, o in enumerate(group):
+                    o["lerf"] = jax.tree.map(
+                        lambda x, jj=j: (x[jj] if hasattr(x, "ndim")
+                                         and x.ndim >= 1
+                                         and x.shape[0] == d else x), lres)
+            outs.extend(group)
+        return outs
+
     def render_path(self, poses, h: int, w: int, k, tp: TrainParams,
-                    save_dir) -> None:
+                    save_dir, mesh=None) -> None:
         """Render a pose list and write PNG artifacts (RenderPath, h:656-737):
         {i}.png, disp_{i}.png, depth_{i}.png (normalized to scene near/far),
-        relevancy_{i}.png with a JET colormap for the LeRF branch."""
+        relevancy_{i}.png with a JET colormap for the LeRF branch. With a
+        ``mesh``, views render data-parallel across its chips."""
         import cv2
         save_dir = Path(save_dir)
         save_dir.mkdir(parents=True, exist_ok=True)
-        for i, pose in enumerate(poses):
-            out = self.render_view(pose, h, w, k, tp)
+        view_outs = self.render_views(poses, h, w, k, tp, mesh=mesh)
+        for i, out in enumerate(view_outs):
             if "nerf" in out:
                 res = out["nerf"]
                 near, far = (float(out["near_far"][0]), float(out["near_far"][1]))
@@ -798,15 +954,16 @@ class NeRFExecutor:
                             cv2.applyColorMap(rel8, cv2.COLORMAP_JET))
 
     def render_test_split(self, scene: SceneData, tp: TrainParams,
-                          save_dir) -> None:
+                          save_dir, mesh=None) -> None:
         """Periodic testset render during training (h:1007-1042): uses the test
-        split if distinct, else the train poses."""
+        split if distinct, else the train poses. With a ``mesh``, the split's
+        views render data-parallel across its chips."""
         test_idx = list(scene.split_indices("test"))
         if not test_idx or scene.splits_idx[2] == scene.splits_idx[1]:
             test_idx = list(scene.split_indices("train"))
         v0 = scene.views[test_idx[0]]
         poses = [scene.views[i].pose for i in test_idx]
-        self.render_path(poses, v0.h, v0.w, v0.k, tp, save_dir)
+        self.render_path(poses, v0.h, v0.w, v0.k, tp, save_dir, mesh=mesh)
         print("Saved test set")
 
     # ------------------------------------------------------------- prompts

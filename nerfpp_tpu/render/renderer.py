@@ -467,6 +467,55 @@ def render_ray_batch_hier_budgeted(params: dict, network_fn, integrate_fn,
     return res_d, res_s, idx_d, idx_s
 
 
+def _cheap_tile_probe(occupancy, rays_o, rays_d, near, far, bounding_box,
+                      tile: int = 128, sub_r: int = 16, sub_b: int = 16):
+    """Two-stage probe stage 1: RANK ray tiles with a cheap subsampled probe
+    (sub_r rays x sub_b bins per 128-ray tile, ~40x less grid traffic than
+    the full prior). The budget path builds the full-resolution prior only
+    for the dense class; sparse (background) tiles place their few samples
+    from this cheap prior — misranking costs those tiles sparse-sample
+    quality, which is what they'd get anyway.
+
+    Returns (edges_c [T*sub_r, sub_b+1], d_c [T*sub_r, sub_b], mass [T],
+    near_t [T], far_t [T])."""
+    from nerfpp_tpu.core.occupancy import ray_bin_densities
+    n = rays_o.shape[0]
+    n_tiles = n // tile
+    stride = tile // sub_r
+    near_t = near.reshape(n_tiles, tile).min(axis=1)     # [T]
+    far_t = far.reshape(n_tiles, tile).max(axis=1)
+    sidx = (jnp.arange(n_tiles)[:, None] * tile
+            + jnp.arange(0, tile, stride)[None, :]).reshape(-1)
+    edges_c, d_c = ray_bin_densities(
+        occupancy, rays_o[sidx], rays_d[sidx],
+        jnp.repeat(near_t, sub_r)[:, None],
+        jnp.repeat(far_t, sub_r)[:, None],
+        bounding_box, sub_b)
+    mass = d_c.reshape(n_tiles, sub_r, sub_b).sum(axis=(1, 2))
+    return edges_c, d_c, mass, near_t, far_t
+
+
+def probe_tile_mass(occupancy, h: int, w: int, k: jnp.ndarray,
+                    c2w: jnp.ndarray, bounding_box: jnp.ndarray):
+    """Cheap occupancy mass per 8x16-pixel tile of the (tile-padded) image —
+    the exact ranking signal render_image's budget path uses, exposed so the
+    executor can pick ``dense_frac`` automatically: one tiny dispatch + a
+    [n_tiles] host sync before compiling the budgeted renderer."""
+    th, tw = 8, 16
+    hp, wp = -(-h // th) * th, -(-w // tw) * tw
+    rays_o, rays_d, _ = ray_math.get_rays(hp, wp, k, c2w)
+
+    def flat(x):
+        c = x.shape[-1]
+        return (x.reshape(hp // th, th, wp // tw, tw, c)
+                .transpose(0, 2, 1, 3, 4).reshape(-1, c))
+
+    rays_o, rays_d = flat(rays_o), flat(rays_d)
+    near, far = ray_math.intersect_aabb(rays_o, rays_d, bounding_box)
+    return _cheap_tile_probe(occupancy, rays_o, rays_d, near, far,
+                             bounding_box)[2]
+
+
 def render_image(params: dict, network_fn, integrate_fn,
                  h: int, w: int, k: jnp.ndarray, c2w: jnp.ndarray,
                  key: jax.Array, cfg: RenderConfig,
@@ -581,28 +630,13 @@ def render_image(params: dict, network_fn, integrate_fn,
                   and cfg.n_occ_bins > 0 and cfg.tile_order
                   and n % 128 == 0 and n // 128 >= 2)
     if use_budget:
-        from nerfpp_tpu.core.occupancy import ray_bin_densities, tiled_prior
+        from nerfpp_tpu.core.occupancy import tiled_prior
         tile = 128                        # one 8x16 pixel tile per 128 rays
         n_tiles = n // tile
         k_dense = min(max(int(round(dense_frac * n_tiles)), 1), n_tiles - 1)
-        # two-stage probe: RANK all tiles with a cheap subsampled probe
-        # (16 rays x 16 bins, ~40x less grid traffic than the full prior),
-        # then build the full-resolution prior only for the dense class.
-        # Sparse (background) tiles place their few samples from the cheap
-        # prior — misranking costs those tiles 8-sample quality, which is
-        # what they'd get anyway.
-        sub_r, sub_b = 16, 16
-        stride = tile // sub_r
-        near_t = near.reshape(n_tiles, tile).min(axis=1)     # [T]
-        far_t = far.reshape(n_tiles, tile).max(axis=1)
-        sidx = (jnp.arange(n_tiles)[:, None] * tile
-                + jnp.arange(0, tile, stride)[None, :]).reshape(-1)
-        edges_c, d_c = ray_bin_densities(
-            occupancy, rays_o[sidx], rays_d[sidx],
-            jnp.repeat(near_t, sub_r)[:, None],
-            jnp.repeat(far_t, sub_r)[:, None],
-            bounding_box, sub_b)
-        mass = d_c.reshape(n_tiles, sub_r, sub_b).sum(axis=(1, 2))
+        edges_c, d_c, mass, near_t, far_t = _cheap_tile_probe(
+            occupancy, rays_o, rays_d, near, far, bounding_box)
+        sub_r, sub_b = d_c.shape[0] // n_tiles, d_c.shape[1]
         order = jnp.argsort(-mass)
         kd, ks = jax.random.split(key)
 

@@ -179,7 +179,10 @@ def test_flagship_combination_end_to_end(tmp_path):
     p = hashnerf_blocked_preset(
         n_importance=0, log2_hashmap_size=12, n_levels=4,
         finest_resolution=64, use_occupancy_grid=True,
-        occ_grid_resolution=16, occ_update_every=2, occ_n_bins=8)
+        occ_grid_resolution=16, occ_update_every=2, occ_n_bins=8,
+        # cross the budget-warmup cond inside the 4-iter run so the
+        # flagship CI covers BOTH the full and budgeted branches
+        occ_tile_budget_warmup=2)
     tp = TrainParams(n_samples=16, n_rand=256, n_iters=4, chunk=256,
                      i_print=0, i_weights=0, i_testset=0, i_img=0,
                      base_dir=str(tmp_path), tile_h=8, tile_w=16,
@@ -269,7 +272,9 @@ def test_executor_tile_budget_trains(tmp_path):
             finest_resolution=64, use_occupancy_grid=True,
             occ_grid_resolution=16, occ_update_every=2, occ_n_bins=8,
             occ_tile_budget_frac=frac, occ_sparse_samples=4,
-            occ_ray_tile=128)
+            # warmup 3 of 6 iters: the run must cross the full->budgeted
+            # lax.cond transition, exercising BOTH branches
+            occ_ray_tile=128, occ_tile_budget_warmup=3)
         tp = TrainParams(n_samples=16, n_rand=256, n_iters=6, chunk=256,
                          i_print=0, i_weights=0, i_testset=0, i_img=0,
                          base_dir=str(tmp_path / f"b{frac}"),
@@ -285,6 +290,53 @@ def test_executor_tile_budget_trains(tmp_path):
     # same scene, same seed, fewer samples on the empty half: losses in the
     # same ballpark (the budget must not derail optimization)
     assert float(m_b["loss"]) < 4 * float(m_0["loss"]) + 0.1
+
+
+def test_render_view_budget_and_auto_frac(tmp_path):
+    """render_image's two-class budget via the executor: the budgeted render
+    stays close to the full render of the same trained state, mutating the
+    budget knobs recompiles (no stale cache hit), and render_dense_frac < 0
+    (auto) resolves a valid bucketed fraction from the view's occupancy
+    masses before compiling."""
+    from nerfpp_tpu.config import hashnerf_blocked_preset, TrainParams
+    from nerfpp_tpu.data.synthetic import make_synthetic_scene
+    from nerfpp_tpu.executor import NeRFExecutor
+
+    scene = make_synthetic_scene(n_train=2, n_val=1, n_test=1, image_hw=32)
+    p = hashnerf_blocked_preset(
+        n_importance=0, log2_hashmap_size=12, n_levels=4,
+        finest_resolution=64, use_occupancy_grid=True,
+        occ_grid_resolution=16, occ_update_every=2, occ_n_bins=8)
+    tp = TrainParams(n_samples=16, n_rand=256, n_iters=6, chunk=256,
+                     i_print=0, i_weights=0, i_testset=0, i_img=0,
+                     base_dir=str(tmp_path), tile_h=8, tile_w=16)
+    ex = NeRFExecutor(p)
+    ex.white_bkgr = scene.white_bkgr
+    ex.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+    ex.train(scene, tp)
+    v = scene.views[0]
+
+    ex.params.render_dense_frac = 0.0
+    full = np.asarray(ex.render_view(v.pose, v.h, v.w, v.k, tp)["nerf"].rgb)
+    ex.params.render_dense_frac = 0.5      # must recompile, not hit cache
+    ex.params.render_sparse_samples = 4
+    bud = np.asarray(ex.render_view(v.pose, v.h, v.w, v.k, tp)["nerf"].rgb)
+    assert bud.shape == full.shape
+    assert np.isfinite(bud).all()
+    # same trained state: sparse tiles are (mostly) empty space, so the
+    # budgeted image stays close to the full one
+    assert float(np.mean(np.abs(bud - full))) < 0.15
+
+    # auto frac: a valid bucketed fraction that round-trips through
+    # render_image's k_dense rounding
+    frac = ex._auto_dense_frac(v.h, v.w, v.k, v.pose)
+    n_tiles = (-(-v.h // 8) * 8) * (-(-v.w // 16) * 16) // 128
+    assert 0.0 < frac < 1.0
+    assert 1 <= int(round(frac * n_tiles)) <= n_tiles - 1
+    ex.params.render_dense_frac = -1.0
+    auto = np.asarray(ex.render_view(v.pose, v.h, v.w, v.k, tp)["nerf"].rgb)
+    assert np.isfinite(auto).all()
+    assert float(np.mean(np.abs(auto - full))) < 0.15
 
 
 def test_phased_update_covers_all_cells():

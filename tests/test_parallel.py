@@ -156,7 +156,10 @@ def test_dp_tile_budget_matches_single_device():
                         finest_resolution=32, use_occupancy_grid=True,
                         occ_grid_resolution=16, occ_update_every=2,
                         occ_n_bins=8, occ_ray_tile=64,
-                        occ_tile_budget_frac=0.5, occ_sparse_samples=4)
+                        occ_tile_budget_frac=0.5, occ_sparse_samples=4,
+                        # warmup 1: steps 1-2 run the BUDGETED branch under
+                        # the mesh (default 1024 would skip it entirely)
+                        occ_tile_budget_warmup=1)
     tp = TrainParams(n_samples=8, n_rand=256, n_iters=4, chunk=256,
                      i_print=0, i_weights=0, i_testset=0, i_img=0,
                      base_dir="/tmp/dpbudget")
@@ -209,3 +212,46 @@ def test_dp_hier_budget_matches_single_device():
     m8 = run(mesh_utils.make_mesh())
     np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
                                rtol=2e-4)
+
+def test_mesh_render_views_matches_sequential(tmp_path):
+    """View-parallel rendering (render_views over the 8-device mesh) must
+    reproduce the sequential per-view renders: views are embarrassingly
+    parallel, so the vmapped+sharded program is a pure parallelization.
+    Covers both the plain and the budgeted (two-class tile) render paths,
+    plus the non-multiple view count (5 views pad to 8)."""
+    from nerfpp_tpu.config import hashnerf_preset, TrainParams
+    from nerfpp_tpu.data.synthetic import make_synthetic_scene
+    from nerfpp_tpu.executor import NeRFExecutor
+
+    scene = make_synthetic_scene(n_train=5, n_val=1, n_test=1, image_hw=24)
+    p = hashnerf_preset(n_importance=0, log2_hashmap_size=10, n_levels=4,
+                        finest_resolution=32, use_occupancy_grid=True,
+                        occ_grid_resolution=16, occ_update_every=2,
+                        occ_n_bins=8)
+    tp = TrainParams(n_samples=8, n_rand=256, n_iters=3, chunk=256,
+                     i_print=0, i_weights=0, i_testset=0, i_img=0,
+                     base_dir=str(tmp_path), tile_h=8, tile_w=16)
+    ex = NeRFExecutor(p)
+    ex.white_bkgr = scene.white_bkgr
+    ex.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+    ex.train(scene, tp)
+    views = [scene.views[i] for i in range(5)]
+    poses = [v.pose for v in views]
+    v0 = views[0]
+
+    mesh = mesh_utils.make_mesh()
+    for frac in (0.0, 0.5):              # plain and budgeted render paths
+        ex.params.render_dense_frac = frac
+        ex._render_cache = {}
+        seq = [np.asarray(ex.render_view(pp, v0.h, v0.w, v0.k, tp)["rgb8"])
+               for pp in poses]
+        par = ex.render_views(poses, v0.h, v0.w, v0.k, tp, mesh=mesh)
+        assert len(par) == len(poses)
+        for s, o in zip(seq, par):
+            pr = np.asarray(o["rgb8"])
+            assert pr.shape == s.shape
+            # identical program modulo vmap/SPMD reassociation: allow 1 LSB
+            assert np.mean(np.abs(pr.astype(int) - s.astype(int)) <= 1) > 0.999
+        # depth/disp maps come back per view too
+        assert np.asarray(par[0]["nerf"].depth).shape == (v0.h, v0.w)
+        assert np.isfinite(float(par[0]["near_far"][0]))
