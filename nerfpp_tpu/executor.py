@@ -677,6 +677,12 @@ class NeRFExecutor:
                     progress_fn(i, m)
 
         self.state = state
+        # final save: NIters rarely divides IWeights, and without this the
+        # tail steps exist only in memory (the CLI saves separately, but the
+        # API path should leave a complete run on disk too)
+        if tp.i_weights > 0 and i % tp.i_weights != 0:
+            self.state = jax.device_get(state)
+            self.save_checkpoint(base_dir)
         return jax.device_get(metrics)
 
     # ------------------------------------------------------------ rendering

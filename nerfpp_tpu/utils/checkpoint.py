@@ -16,12 +16,21 @@ import numpy as np
 
 
 def _step_dirs(base: Path):
+    """Checkpoint dirs under base, sorted oldest-first by (mtime, step).
+
+    Recency-primary ordering mirrors the reference's resume semantics: its
+    saves overwrite fixed filenames (NeRFExecutor.h:1055-1070), so "the last
+    thing saved" always wins. A pure highest-step order would let a STALE
+    long run shadow a fresh shorter one sharing the base_dir (restore-latest
+    would pick the old step_199 over the new step_119). Step number breaks
+    mtime ties (saves within one run can land in the same mtime quantum)."""
     if not base.exists():
         return []
-    dirs = [(int(d.name.split("_")[1]), d) for d in base.iterdir()
+    dirs = [(d.stat().st_mtime, int(d.name.split("_")[1]), d)
+            for d in base.iterdir()
             if d.is_dir() and d.name.startswith("step_")
             and d.name.split("_")[1].isdigit()]
-    return sorted(dirs)
+    return [(step, d) for _, step, d in sorted(dirs)]
 
 
 def save(base: Path, state: Any, step: int) -> Path:

@@ -73,6 +73,57 @@ def test_checkpoint_save_restore_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
 
+def test_restore_prefers_most_recent_save(tmp_path):
+    """Restore-latest is recency-primary (mtime, step tiebreak), mirroring
+    the reference's overwrite-fixed-filenames resume: a STALE higher-step
+    checkpoint left in the dir by an earlier, longer run must NOT shadow a
+    fresh shorter run's final save."""
+    import os
+
+    from nerfpp_tpu.utils import checkpoint as ckpt_utils
+
+    scene, p, tp = _small_setup(tmp_path, n_iters=20)
+    ex = NeRFExecutor(p)
+    ex.white_bkgr = scene.white_bkgr
+    ex.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+    sampler = RayBatchSampler.from_scene(scene, tp.n_rand)
+    step = ex._build_train_step(tp)
+    state = ex.state
+    ckpt_dir = tmp_path / "ckpts"
+
+    state, _ = step(state, sampler, jax.random.PRNGKey(0))
+    ex.state = state
+    ex.save_checkpoint(ckpt_dir)             # "stale long run": step_1
+    stale = ckpt_dir / "step_1"
+    old = stale.stat().st_mtime - 3600
+    os.utime(stale, (old, old))
+
+    fresh_table = np.asarray(state["params"]["embed"]["table"]) + 1.0
+    ex.state = {**state,
+                "params": {**state["params"],
+                           "embed": {**state["params"]["embed"],
+                                     "table": jnp.asarray(fresh_table)}},
+                "step": jnp.asarray(0)}
+    ex.save_checkpoint(ckpt_dir)             # "fresh short run": step_0, newer
+
+    restored = ckpt_utils.restore_latest(ckpt_dir, ex.state)
+    assert int(restored["step"]) == 0
+    np.testing.assert_allclose(np.asarray(restored["params"]["embed"]["table"]),
+                               fresh_table, atol=1e-7)
+
+
+def test_train_saves_final_checkpoint(tmp_path):
+    """train() leaves the end-of-run state on disk even when NIters does not
+    divide IWeights (the tail steps must not exist only in memory)."""
+    scene, p, tp = _small_setup(tmp_path, n_iters=7)
+    tp.i_weights = 5                         # interval save at 5, final at 6
+    ex = NeRFExecutor(p)
+    ex.white_bkgr = scene.white_bkgr
+    ex.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+    ex.train(scene, tp)
+    assert (Path(tp.base_dir) / "step_6").is_dir()
+
+
 def test_render_path_writes_artifacts(tmp_path):
     scene, p, tp = _small_setup(tmp_path)
     ex = NeRFExecutor(p)
