@@ -27,6 +27,8 @@ import os
 import sys
 import time
 
+import zipfile
+
 import numpy as np
 
 
@@ -65,7 +67,8 @@ def main() -> None:
             v.h, v.w = int(hw[0]), int(hw[1])
             v.k, v.pose = kk, pose
         print("scene cache hit", file=sys.stderr)
-    except (FileNotFoundError, OSError, KeyError, ValueError, AssertionError):
+    except (FileNotFoundError, OSError, KeyError, ValueError, AssertionError,
+            zipfile.BadZipFile):
         scene = make_synthetic_scene(n_train=16, n_val=1, n_test=1,
                                      image_hw=800, white_bkgr=False,
                                      n_samples=64)
@@ -125,6 +128,10 @@ def main() -> None:
         _sync(jax, mq["loss"])
     ex.state = stateq
     v = scene.views[list(scene.split_indices("test"))[0]]
+    # quality eval renders UNBUDGETED (preset default is auto): the PSNR
+    # line measures the trained field, not the render-budget trade-off
+    # (which the render_* tags below measure explicitly)
+    ex.params.render_dense_frac = 0.0
     out = ex.render_view(v.pose, v.h, v.w, v.k, tp)
     rgb = np.clip(np.asarray(out["nerf"].rgb), 0, 1)
     gt = scene.images[v.id]

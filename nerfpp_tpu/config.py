@@ -311,8 +311,11 @@ def hashnerf_blocked_preset(**overrides) -> ExecutorParams:
     When the occupancy grid is enabled, the two-class tile sample budget
     defaults ON for training (frac 0.5 / 16 sparse samples — measured
     quality-neutral-or-better across 3 seeds at +24% rays/s) and for
-    rendering (frac 0.20 / 2 — measured +0.1 dB at 3.6x Mpix/s vs the
-    unbudgeted render, scripts/profile_render.py bench8);
+    rendering in AUTO mode (render_dense_frac=-1: each view's fraction is
+    derived from its occupancy tile masses, executor._auto_dense_frac — a
+    fixed 0.20 measured +0.1 dB at 3.6x Mpix/s on the object-centric bench
+    scene but would starve scenes whose geometry fills the frame; auto
+    adapts and falls back to unbudgeted when ineligible, e.g. NDC);
     scripts/quality_tile_budget*.py + render_budget_check.py hold the
     studies. The occupancy refresh is octant-phased after a 1024-step
     full-refresh warmup (+34% steady rays/s; quality-neutral and MORE
@@ -320,7 +323,7 @@ def hashnerf_blocked_preset(**overrides) -> ExecutorParams:
     31.3 vs 30.0 dB, spread 0.7 vs 7.5 dB across 3 seeds)."""
     p = hashnerf_preset(hash_scheme="blocked", use_pallas_encoder=True,
                         occ_tile_budget_frac=0.5, occ_sparse_samples=16,
-                        render_dense_frac=0.20, render_sparse_samples=2,
+                        render_dense_frac=-1.0, render_sparse_samples=2,
                         occ_phased_refresh=True)
     for k, v in overrides.items():
         setattr(p, k, v)

@@ -108,9 +108,11 @@ def update_grid_phased(grid: OccupancyGrid, sigma_fn, params, bounding_box,
     ~8x coarser than the finest hash level's cells, so every probe point
     lands in its own kernel window — the worst case for the window loop.
     Phasing divides that by 8 while every cell still refreshes every
-    8 * occ_update_every steps; decay is adjusted to decay^(1/8)
-    per call so a cell's density shrinks at the SAME per-step rate as the
-    full refresh (empty-space carving speed is decay-driven).
+    8 * occ_update_every steps. The decay multiply stays the full-refresh
+    ``decay`` per call — it applies to the WHOLE grid (it is the cheap part;
+    only the sigma probe is phased), so a cell's density shrinks at exactly
+    the full refresh's per-step rate (empty-space carving speed is
+    decay-driven).
 
     ``phase`` may be a traced int scalar (the executor passes
     (step // occ_every) % 8); the octant select is a dynamic-slice on the
@@ -140,7 +142,7 @@ def update_grid_phased(grid: OccupancyGrid, sigma_fn, params, bounding_box,
                 .transpose(0, 3, 1, 4, 2, 5).reshape(h, h, h))
 
     sigma = jax.lax.stop_gradient(sigma_fn(params, brick(pts)))
-    d = grid.density * (decay ** (1.0 / 8.0))
+    d = grid.density * decay
     d6 = d.reshape(h, 2, h, 2, h, 2).transpose(1, 3, 5, 0, 2, 4)
     old = jax.lax.dynamic_slice(d6, (pi, pj, pk, 0, 0, 0), (1, 1, 1, h, h, h))
     new = jnp.maximum(old, unbrick(sigma)[None, None, None])

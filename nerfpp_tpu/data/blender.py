@@ -78,6 +78,10 @@ def load_blender_data(basedir, near: float = 0.0, far: float = 0.0,
         split_hw = None
         for frame in data["frames"]:
             img_path = basedir / (frame["file_path"] + ".png")
+            # fail fast on a partial export: a missing frame must surface at
+            # load time, not hours later when the trainer first decodes it
+            if not img_path.exists():
+                raise FileNotFoundError(img_path)
             if split_hw is None:
                 img = cv2.imread(str(img_path), cv2.IMREAD_UNCHANGED)
                 if img is None:

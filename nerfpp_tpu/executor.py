@@ -707,10 +707,7 @@ class NeRFExecutor:
         out: Dict[str, Any] = {}
         if self.params.use_nerf:
             dense_frac = None
-            if (self.params.use_occupancy_grid
-                    and self.params.render_dense_frac < 0
-                    and self.params.occ_n_bins > 0 and not cfg.ndc
-                    and cfg.tile_order):
+            if self._auto_frac_eligible(cfg):
                 # render_dense_frac < 0 = auto: derive the dense fraction
                 # from this view's occupancy tile masses (bucketed so the
                 # compile cache stays small)
@@ -734,12 +731,29 @@ class NeRFExecutor:
             out["lerf"] = lres
         return out
 
-    def _auto_dense_frac(self, h: int, w: int, k, pose) -> float:
+    def _auto_frac_eligible(self, cfg: RenderConfig) -> bool:
+        """render_dense_frac < 0 (auto) resolves to a probe-derived fraction
+        only where the budget path itself is available (occupancy grid in
+        world space + tile-ordered pixels); otherwise the budget stays off."""
+        return (self.params.use_occupancy_grid
+                and self.params.render_dense_frac < 0
+                and self.params.occ_n_bins > 0 and not cfg.ndc
+                and cfg.tile_order)
+
+    def _auto_dense_frac(self, h: int, w: int, k, poses) -> float:
         """Pick the render budget's dense fraction from the scene itself:
         count the tiles whose cheap-probe occupancy mass clears 2% of the
         view's peak (the same threshold the prior narrowing uses), pad by
         25% + 2 tiles against probe misranking, and bucket k_dense to
-        n_tiles/32 granularity so distinct views share compiles."""
+        n_tiles/32 granularity so distinct views share compiles.
+
+        ``poses`` is one pose or a list: a multi-view group probes every
+        view in ONE vmapped dispatch + one host sync (the per-view masses
+        are tiny; the tunnel round-trip is the cost) and returns the MAX of
+        the per-view fractions — safe for every view, one shared compile."""
+        poses = np.asarray(poses)
+        if poses.ndim == 2:
+            poses = poses[None]
         th, tw = 8, 16
         hp, wp = -(-h // th) * th, -(-w // tw) * tw
         n_tiles = hp * wp // 128
@@ -752,21 +766,24 @@ class NeRFExecutor:
             bbox = jnp.asarray(self.bounding_box)
 
             @jax.jit
-            def fn(k_, pose_, occ):
-                return probe_tile_mass(occ, h, w, k_, pose_, bbox)
+            def fn(k_, poses_, occ):
+                return jax.vmap(
+                    lambda p: probe_tile_mass(occ, h, w, k_, p, bbox)
+                )(poses_)
 
             self._probe_cache[(h, w)] = fn
-        m = np.asarray(fn(jnp.asarray(k), jnp.asarray(pose),
-                          self.state["occupancy"]))
-        peak = float(m.max())
+        m = np.asarray(fn(jnp.asarray(k), jnp.asarray(poses),
+                          self.state["occupancy"]))            # [V, T]
+        peak = m.max(axis=1, keepdims=True)                    # [V, 1]
         # an empty/untrained grid (peak 0) gives no ranking signal: render
         # everything dense rather than trust a meaningless split
-        occupied = int((m > 0.02 * peak).sum()) if peak > 0 else n_tiles
-        kd = int(np.ceil(1.25 * occupied)) + 2
+        occupied = np.where(peak[:, 0] > 0,
+                            (m > 0.02 * peak).sum(axis=1), n_tiles)
+        kd = int(np.ceil(1.25 * occupied.max())) + 2
         step = max(1, n_tiles // 32)
         kd = -(-kd // step) * step
         kd = min(max(kd, 1), n_tiles - 1)
-        # round(frac * n_tiles) inside render_image recovers kd exactly
+        # renderer.k_dense_of(frac, n_tiles) recovers kd exactly
         return kd / n_tiles
 
     def _jitted_render(self, h: int, w: int, cfg: RenderConfig, branch: str,
@@ -865,7 +882,7 @@ class NeRFExecutor:
         collectives). Returns a list of per-view dicts shaped like
         ``render_view``'s output. The reference's RenderPath
         (NeRFExecutor.h:656-737) renders strictly sequentially."""
-        if mesh is None or mesh.devices.size == 1 or len(poses) == 1:
+        if mesh is None or mesh.devices.size == 1 or len(poses) <= 1:
             return [self.render_view(p, h, w, k, tp,
                                      key=key, with_relevancy=with_relevancy)
                     for p in poses]
@@ -891,14 +908,11 @@ class NeRFExecutor:
         occ = ()
         if self.params.use_nerf:
             dense_frac = None
-            if (self.params.use_occupancy_grid
-                    and self.params.render_dense_frac < 0
-                    and self.params.occ_n_bins > 0 and not cfg.ndc
-                    and cfg.tile_order):
+            if self._auto_frac_eligible(cfg):
                 # auto budget for a batch: the MAX over the group's per-view
-                # fractions (safe for every view; one shared compile)
-                dense_frac = max(self._auto_dense_frac(h, w, k, p)
-                                 for p in poses)
+                # fractions (safe for every view; one probe dispatch + one
+                # host sync for the whole pose list, one shared compile)
+                dense_frac = self._auto_dense_frac(h, w, k, poses)
             fn = self._jitted_render(h, w, cfg, "nerf", with_relevancy,
                                      dense_frac=dense_frac, mesh=mesh)
             occ = ((self.state["occupancy"],)

@@ -302,6 +302,14 @@ def render_ray_batch(params: dict, network_fn, integrate_fn,
         occ_bins=occ_bins)
 
 
+def k_dense_of(dense_frac: float, n_tiles: int) -> int:
+    """Dense-class tile count for a two-class budget: round(frac * tiles),
+    clamped so both classes are non-empty. THE single definition — the
+    executor's auto-frac bucketing (executor._auto_dense_frac) relies on
+    round-tripping through exactly this rounding."""
+    return min(max(int(round(dense_frac * n_tiles)), 1), n_tiles - 1)
+
+
 def render_ray_batch_budgeted(params: dict, network_fn, integrate_fn,
                               rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                               cone_angle, key: jax.Array, cfg: RenderConfig,
@@ -333,7 +341,7 @@ def render_ray_batch_budgeted(params: dict, network_fn, integrate_fn,
     if r % tile:
         raise ValueError(f"batch of {r} rays must divide by tile {tile}")
     n_tiles = r // tile
-    k_dense = min(max(int(round(dense_frac * n_tiles)), 1), n_tiles - 1)
+    k_dense = k_dense_of(dense_frac, n_tiles)
 
     viewdirs = None
     if cfg.use_viewdirs:
@@ -405,7 +413,7 @@ def render_ray_batch_hier_budgeted(params: dict, network_fn, integrate_fn,
     if r % tile:
         raise ValueError(f"batch of {r} rays must divide by tile {tile}")
     nt = r // tile
-    k_dense = min(max(int(round(dense_frac * nt)), 1), nt - 1)
+    k_dense = k_dense_of(dense_frac, nt)
     k_strat, k_cone1, k_noise1, kd, ks = jax.random.split(key, 5)
 
     viewdirs = None
@@ -577,14 +585,21 @@ def render_image(params: dict, network_fn, integrate_fn,
 
     rays_o = flatten_pixels(rays_o)
     rays_d = flatten_pixels(rays_d)
+    # NDC rescales the cone angle per ray ([hp, wp, 1]); flatten it alongside
+    # the rays so each chunk slices its own angles (a scalar stays closed-over)
+    per_ray_cone = (not cfg.thin_ray and hasattr(cone_angle, "ndim")
+                    and cone_angle.ndim == 3)
+    if per_ray_cone:
+        cone_angle = flatten_pixels(cone_angle)
     near, far = ray_math.intersect_aabb(rays_o, rays_d, bounding_box)
 
     n = hp * wp
     has_viewdirs = viewdirs is not None
 
-    def render_flat(ro, rd, nr, fr, vd, kk, ccfg, z_all=None):
+    def render_flat(ro, rd, nr, fr, vd, kk, ccfg, z_all=None, ca=None):
         """Chunked lax.map render of a flat ray set; z_all [n', S] are
-        precomputed sample depths (budget path) or None (per-chunk occ)."""
+        precomputed sample depths (budget path) or None (per-chunk occ);
+        ca [n', 1] are per-ray cone angles (NDC rescale) or None (scalar)."""
         m = ro.shape[0]
         ch = min(ccfg.chunk, m)
         n_ch = -(-m // ch)
@@ -599,23 +614,26 @@ def render_image(params: dict, network_fn, integrate_fn,
                 pad0(fr).reshape(n_ch, ch, 1),
                 (pad0(vd) if has_viewdirs else
                  jnp.zeros((m + pad_m, 3))).reshape(n_ch, ch, 3),
-                jax.random.split(kk, n_ch))
-        if z_all is not None:
-            args = args + (pad0(z_all).reshape(n_ch, ch, -1),)
+                jax.random.split(kk, n_ch),
+                (pad0(z_all).reshape(n_ch, ch, -1)
+                 if z_all is not None else jnp.zeros((n_ch,))),
+                (pad0(ca).reshape(n_ch, ch, 1)
+                 if ca is not None else jnp.zeros((n_ch,))))
 
         def render_chunk(a):
-            ro_c, rd_c, nr_c, fr_c, vd_c, kk_c = a[:6]
+            ro_c, rd_c, nr_c, fr_c, vd_c, kk_c, z_c, ca_c = a
             if z_all is not None:
-                occ_bins = a[6]
+                occ_bins = z_c
             elif occupancy is not None and ccfg.n_occ_bins > 0:
                 occ_bins = _occ_bins_or_z(occupancy, ro_c, rd_c, nr_c, fr_c,
                                           bounding_box, ccfg, kk_c)
             else:
                 occ_bins = None
+            cone = ca_c if ca is not None else cone_angle
             res = render_rays(params, network_fn, integrate_fn,
                               ro_c, rd_c, nr_c, fr_c,
                               vd_c if has_viewdirs else None,
-                              None if ccfg.thin_ray else cone_angle, kk_c,
+                              None if ccfg.thin_ray else cone, kk_c,
                               ccfg, bounding_box=bounding_box,
                               occ_bins=occ_bins)
             return res.outputs
@@ -633,7 +651,7 @@ def render_image(params: dict, network_fn, integrate_fn,
         from nerfpp_tpu.core.occupancy import tiled_prior
         tile = 128                        # one 8x16 pixel tile per 128 rays
         n_tiles = n // tile
-        k_dense = min(max(int(round(dense_frac * n_tiles)), 1), n_tiles - 1)
+        k_dense = k_dense_of(dense_frac, n_tiles)
         edges_c, d_c, mass, near_t, far_t = _cheap_tile_probe(
             occupancy, rays_o, rays_d, near, far, bounding_box)
         sub_r, sub_b = d_c.shape[0] // n_tiles, d_c.shape[1]
@@ -713,7 +731,8 @@ def render_image(params: dict, network_fn, integrate_fn,
             for f in out_d._fields})
     else:
         outputs = render_flat(rays_o, rays_d, near[:, None], far[:, None],
-                              viewdirs, key, cfg)
+                              viewdirs, key, cfg,
+                              ca=cone_angle if per_ray_cone else None)
 
     def unshape(flat):
         rest = flat.shape[1:]

@@ -12,6 +12,8 @@ import os
 import sys
 import time
 
+import zipfile
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -35,7 +37,8 @@ def load_scene():
             v.h, v.w = int(hw[0]), int(hw[1])
             v.k, v.pose = kk, pose
         return scene
-    except (FileNotFoundError, OSError, KeyError, AssertionError):
+    except (FileNotFoundError, OSError, KeyError, AssertionError,
+            zipfile.BadZipFile):
         return make_synthetic_scene(n_train=16, n_val=1, n_test=1,
                                     image_hw=800, white_bkgr=False,
                                     n_samples=64)

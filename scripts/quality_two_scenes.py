@@ -21,6 +21,8 @@ Measured results: PERFORMANCE.md "Second-scene check" section.
 import os
 import time
 
+import zipfile
+
 import numpy as np
 
 import jax
@@ -53,7 +55,8 @@ def load_thin_scene():
             v.h, v.w = int(hw[0]), int(hw[1])
             v.k, v.pose = kk, pose
         return scene
-    except (FileNotFoundError, OSError, KeyError, AssertionError):
+    except (FileNotFoundError, OSError, KeyError, AssertionError,
+            zipfile.BadZipFile):
         scene = make_synthetic_scene(n_train=16, n_val=1, n_test=1,
                                      image_hw=400, white_bkgr=True,
                                      n_samples=128, variant="thin",

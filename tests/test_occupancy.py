@@ -341,7 +341,8 @@ def test_render_view_budget_and_auto_frac(tmp_path):
 
 def test_phased_update_covers_all_cells():
     """8 phased updates (phases 0..7) refresh every cell exactly once, with
-    the total decay matching one full-refresh interval."""
+    per-call decay identical to the full refresh's (the whole grid decays
+    every call; only the sigma probe is phased)."""
     from nerfpp_tpu.core.occupancy import (OccupancyGrid, update_grid_phased,
                                            make_occupancy_grid)
 
@@ -358,10 +359,11 @@ def test_phased_update_covers_all_cells():
                                   jax.random.PRNGKey(ph), ph, decay=0.95)
     d = np.asarray(grid.density)
     # occupied half: sigma 5 written at the cell's phase, then decayed by at
-    # most the remaining 7/8 of one full-refresh decay
-    assert (d[:8] >= 5.0 * 0.95).all()
-    # empty half: never raised, decayed by exactly one full 0.95 in total
-    np.testing.assert_allclose(d[8:], 0.95, rtol=1e-5)
+    # most the 7 remaining calls' full-rate decay
+    assert (d[:8] >= 5.0 * 0.95 ** 7 * (1.0 - 1e-6)).all()
+    # empty half: never raised, decayed at the full refresh's per-call rate
+    # — 8 calls = 0.95^8 (matches 8 triggers of update_grid exactly)
+    np.testing.assert_allclose(d[8:], 0.95 ** 8, rtol=1e-5)
 
 
 def test_executor_phased_refresh_trains(tmp_path):

@@ -100,6 +100,25 @@ def test_render_image_shapes_and_padding():
     assert float(out.acc[0, 0]) < 0.1
 
 
+def test_render_image_ndc_cone_rays():
+    """NDC full-image render with CONE rays: ndc_rays rescales the cone
+    angle PER RAY ([h, w, 1]), which render_image must flatten and chunk
+    alongside the rays (previously it was closed over image-shaped and the
+    chunked trace failed). Covers both pixel orders, non-chunk-multiple."""
+    for tile_order in (False, True):
+        cfg = RenderConfig(n_samples=8, n_importance=0, use_viewdirs=False,
+                           thin_ray=False, ndc=True, chunk=64,
+                           tile_order=tile_order)
+        k = jnp.asarray(R.calibration_matrix(15.0, 13, 13))
+        # forward-facing pose (NDC convention): camera looking down -z
+        c2w = jnp.eye(4).at[2, 3].set(0.5)
+        out, _ = render_image({}, _toy_network, make_nerf_integrate_fn(cfg),
+                              13, 13, k, c2w, jax.random.PRNGKey(0),
+                              cfg, BBOX)
+        assert out.rgb.shape == (13, 13, 3)
+        assert np.isfinite(np.asarray(out.rgb)).all()
+
+
 def test_render_deterministic_without_noise():
     cfg = RenderConfig(n_samples=16, n_importance=16, use_viewdirs=False,
                        thin_ray=True)
