@@ -328,11 +328,18 @@ def test_render_view_budget_and_auto_frac(tmp_path):
     assert float(np.mean(np.abs(bud - full))) < 0.15
 
     # auto frac: a valid bucketed fraction that round-trips through
-    # render_image's k_dense rounding
+    # render_image's k_dense rounding (the shared k_dense_of helper), and
+    # the batched (multi-pose) probe returns the max of the per-view fracs
+    from nerfpp_tpu.render.renderer import k_dense_of
     frac = ex._auto_dense_frac(v.h, v.w, v.k, v.pose)
     n_tiles = (-(-v.h // 8) * 8) * (-(-v.w // 16) * 16) // 128
     assert 0.0 < frac < 1.0
-    assert 1 <= int(round(frac * n_tiles)) <= n_tiles - 1
+    assert 1 <= k_dense_of(frac, n_tiles) <= n_tiles - 1
+    assert k_dense_of(frac, n_tiles) == round(frac * n_tiles)
+    poses2 = [scene.views[0].pose, scene.views[1].pose]
+    f2 = ex._auto_dense_frac(v.h, v.w, v.k, poses2)
+    f_each = max(ex._auto_dense_frac(v.h, v.w, v.k, p) for p in poses2)
+    assert abs(f2 - f_each) < 1e-9
     ex.params.render_dense_frac = -1.0
     auto = np.asarray(ex.render_view(v.pose, v.h, v.w, v.k, tp)["nerf"].rgb)
     assert np.isfinite(auto).all()
