@@ -24,7 +24,7 @@ def main():
     ex0, _ = trained_executor(scene)   # restores or trains the shared ckpt
     state0 = ex0.state
 
-    def measure(tag, **over):
+    def measure(tag, post=None, **over):
         pk = dict(n_importance=0, use_occupancy_grid=True,
                   occ_update_every=32)
         tk = dict(n_samples=64, n_rand=4096, n_iters=8100, chunk=4096,
@@ -45,6 +45,8 @@ def main():
             setattr(ex.params, k, v)
         ex.white_bkgr = scene.white_bkgr
         ex.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+        if post is not None:
+            post(ex)
         # adopt the trained params/occupancy so placement coherence matches
         st = dict(ex.state)
         for k in ("params", "opt_state", "occupancy", "step"):
@@ -72,6 +74,22 @@ def main():
         return best
 
     import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "parts":
+        # non-encode decomposition: each row swaps ONE non-encode component
+        # for a near-free stand-in; the delta vs baseline is that component's
+        # amortized cost. (Encode cost scales with points — the n_samples
+        # rows bound it from the workload side.)
+        import optax
+        measure("baseline (flagship)")
+
+        def _sgd(ex):
+            ex.tx = optax.sgd(1e-2)   # no moments: Adam HBM traffic removed
+        measure("sgd optimizer", post=_sgd)
+        measure("dense 32 samples", n_samples=32)
+        measure("dense 48 samples", n_samples=48)
+        measure("per-ray occ CDF", occ_ray_tile=0)
+        measure("uniform frac 0", occ_uniform_frac=0.0)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "phased":
         # k=64 windows contain exactly 2 refreshes (every=32): the MEAN is
         # the honest amortized rate (min-of-k=25 windows dodges refreshes)
