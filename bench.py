@@ -105,14 +105,18 @@ def main() -> None:
     many_fn = ex._build_train_many(step_fn)
     key = jax.random.PRNGKey(1)
 
-    # early phase (annealed sigma-noise active; grid still warming up)
+    # early phase (annealed sigma-noise active; grid still warming up; the
+    # phased-refresh and tile-budget warmups keep FULL refresh + FULL
+    # sampling here, by design — this measures the warmup regime's device
+    # rate, in one k=25 dispatch so tunnel latency doesn't pollute it)
     state, m = step_fn(ex.state, sampler, key)
     _sync(jax, m)
-    t0 = time.perf_counter()
-    for _ in range(10):
-        state, m = step_fn(state, sampler, key)
+    state, m = many_fn(state, sampler, key, k=25)
     _sync(jax, m)
-    early_rps = tp.n_rand / ((time.perf_counter() - t0) / 10)
+    t0 = time.perf_counter()
+    state, m = many_fn(state, sampler, key, k=25)
+    _sync(jax, m)
+    early_rps = tp.n_rand / ((time.perf_counter() - t0) / 25)
     extras["early_phase_rays_per_sec"] = round(early_rps)
     print(f"early (noisy) phase: {early_rps:,.0f} rays/s", file=sys.stderr)
 
@@ -223,9 +227,10 @@ def main() -> None:
         prof_steps = {}
         for nm, ov in (("no_occ_refresh", dict(occ_update_every=1 << 30)),
                        ("tile_budget_off", dict(occ_tile_budget_frac=0.0))):
-            p2 = hashnerf_blocked_preset(n_importance=0,
-                                         use_occupancy_grid=True,
-                                         occ_update_every=32, **ov)
+            kw = dict(n_importance=0, use_occupancy_grid=True,
+                      occ_update_every=32)
+            kw.update(ov)
+            p2 = hashnerf_blocked_preset(**kw)
             ex2 = NeRFExecutor(p2)
             ex2.white_bkgr = scene.white_bkgr
             ex2.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
