@@ -108,16 +108,20 @@ def main() -> None:
     # early phase (annealed sigma-noise active; grid still warming up; the
     # phased-refresh and tile-budget warmups keep FULL refresh + FULL
     # sampling here, by design — this measures the warmup regime's device
-    # rate, in one k=25 dispatch so tunnel latency doesn't pollute it)
+    # rate). Methodology (tagged in extras since round 4): ONE k=32 scan
+    # dispatch so tunnel latency doesn't pollute it, and the window is an
+    # exact occ_update_every multiple so the timed window contains exactly
+    # its amortized share of occupancy refreshes (steps 33-64, 1 refresh).
     state, m = step_fn(ex.state, sampler, key)
     _sync(jax, m)
-    state, m = many_fn(state, sampler, key, k=25)
+    state, m = many_fn(state, sampler, key, k=32)
     _sync(jax, m)
     t0 = time.perf_counter()
-    state, m = many_fn(state, sampler, key, k=25)
+    state, m = many_fn(state, sampler, key, k=32)
     _sync(jax, m)
-    early_rps = tp.n_rand / ((time.perf_counter() - t0) / 25)
+    early_rps = tp.n_rand / ((time.perf_counter() - t0) / 32)
     extras["early_phase_rays_per_sec"] = round(early_rps)
+    extras["early_phase_method"] = "one k=32 scan dispatch, steps 33-64"
     print(f"early (noisy) phase: {early_rps:,.0f} rays/s", file=sys.stderr)
 
     # ---- quality: real schedule (annealing active), held-out PSNR ---------
