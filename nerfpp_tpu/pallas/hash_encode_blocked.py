@@ -50,7 +50,12 @@ from jax.experimental.pallas import tpu as pltpu
 from nerfpp_tpu.encoders import hashgrid as HG
 
 LANES = 128
-GROUPS_PER_BLOCK = 8          # groups (128 pts each) per grid step
+GROUPS_PER_BLOCK = 16         # groups (128 pts each) per fwd/bwd grid step
+# The window-list prepass kernel runs at its own (smaller) block size: its
+# bitonic sort is measurably fastest on single-VREG [8, 128] operands, while
+# the fwd/bwd kernels amortize their fori_loop flush best at 16 groups.
+# _prepare() reorders the prepass output to the fwd/bwd layout in XLA.
+PREPASS_GROUPS = 8
 MAX_SMEM_COUNTS_BYTES = 128 * 1024   # per-level window-count table; probed safe
 # sentinel for padded window-list slots: larger than any morton3 value (2^30-1)
 _SENTINEL = np.int32(0x7FFFFFFF)
@@ -153,7 +158,7 @@ def _make_windows_kernel(n_levels: int, groups: int, box_min, box_max):
 @functools.partial(jax.jit, static_argnames=("n_levels", "box_min", "box_max"))
 def _windows_call(pts_b, scales, boffs, *, n_levels, box_min, box_max):
     n_gb = pts_b.shape[0]
-    g = GROUPS_PER_BLOCK
+    g = pts_b.shape[2]
     kernel = _make_windows_kernel(n_levels, g, box_min, box_max)
     interpret = jax.devices()[0].platform != "tpu"
     wids, cnts = pl.pallas_call(
@@ -179,13 +184,6 @@ def _windows_call(pts_b, scales, boffs, *, n_levels, box_min, box_max):
         ],
     )(scales, boffs, pts_b)
     return wids, cnts
-
-
-def _tree_sum(vals):
-    while len(vals) > 1:
-        vals = [a + b for a, b in zip(vals[::2], vals[1::2])] + (
-            [vals[-1]] if len(vals) % 2 else [])
-    return vals[0]
 
 
 def _spread_bits(v):
@@ -217,74 +215,97 @@ def _group_geometry(pts_ref, boffs_ref, scale, l, gi, box_min, inv):
     return cell, frac, m_q, rr
 
 
+def _pattern_matrix(cell, frac, iota_sub):
+    """Per-(group, level) trilerp weight-pattern matrix P [128 lanes, 128 q]:
+    P[lane, q] = the trilerp weight of the block-row vertex at ``lane``
+    (= u*25 + v*5 + w in the 5x5x5 halo layout) for query q — nonzero only
+    at q's 8 corner lanes. Both kernels ride it: the forward resolves a
+    window as (win_rows @ P), the backward scatters as (grad_rows @ P^T).
+
+    Built from the per-axis 1-D weight stacks EX/EY/EZ (sublane u = weight
+    of vertex offset u: (1-f) at the local vertex, f one up; rows 5-7 are
+    identically zero so lanes >= 125 self-mask)."""
+    stacks = []
+    for a in range(3):
+        loc = cell[a] & 3
+        e = (jnp.where(loc == iota_sub, 1.0 - frac[a], 0.0)
+             + jnp.where(loc == (iota_sub - 1), frac[a], 0.0))
+        stacks.append(e)
+    ex, ey, ez = stacks
+    # the lane decode is u = lane//25, v = (lane%25)//5, w = lane%5, so each
+    # per-axis expansion is a static sublane repeat/tile broadcast — no
+    # gathers: PX[lane] = EX[u], PY[lane] = EY[v], PZ[lane] = EZ[w]. Lanes
+    # 125-127 decode to u = 5 whose EX row is identically zero (loc <= 3),
+    # self-masking them.
+    px = jnp.concatenate(
+        [jnp.broadcast_to(ex[u:u + 1], (25, LANES)) for u in range(5)]
+        + [jnp.broadcast_to(ex[5:6], (3, LANES))], axis=0)
+    py25 = jnp.concatenate(
+        [jnp.broadcast_to(ey[v:v + 1], (5, LANES)) for v in range(5)], axis=0)
+    py = jnp.concatenate([py25] * 5 + [py25[:3]], axis=0)
+    pz5 = ez[:5]
+    pz = jnp.concatenate([pz5] * 25 + [pz5[:3]], axis=0)
+    return (px * py * pz).astype(jnp.bfloat16)
+
+
 def _make_fwd_kernel(n_levels: int, s_rows: int, groups: int,
                      box_min, box_max):
     inv = [1.0 / (box_max[a] - box_min[a]) for a in range(3)]
-    offs = [int(o) for o in HG._BLOCKED_CORNER_LANE_OFFSETS]
 
     def kernel(scales_ref, boffs_ref, wids_ref, maxcnt_ref, pts_ref, tab_ref,
                out_ref):
         l = pl.program_id(0)
         gb = pl.program_id(1)
         scale = scales_ref[l]
+        iota_sub = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
         # per-group geometry (python lists indexed by group — all VREGs)
-        mq_g, rr_g, lanes_g, w_g = [], [], [], []
+        mq_g, rr_g, p_g = [], [], []
         for gi in range(groups):
             cell, frac, m_q, rr = _group_geometry(
                 pts_ref, boffs_ref, scale, l, gi, box_min, inv)
             mq_g.append(m_q)
             rr_g.append(rr)
-            base_lane = ((cell[0] & 3) * 25 + (cell[1] & 3) * 5
-                         + (cell[2] & 3))
-            lanes_g.append([base_lane + o for o in offs])
-            # trilerp corner weights, z fastest (matches _CORNER_OFFSETS)
-            wx = [1.0 - frac[0], frac[0]]
-            wy = [1.0 - frac[1], frac[1]]
-            wz = [1.0 - frac[2], frac[2]]
-            wxy = [wx[i] * wy[j] for i in range(2) for j in range(2)]
-            w_g.append([wxy[d >> 1] * wz[d & 1] for d in range(8)])
+            p_g.append(_pattern_matrix(cell, frac, iota_sub))
 
         def window(gi, m):
             """One window (scalar morton id m) of group gi; sentinel-padded
-            and foreign ids self-mask (morton-equality hit test fails)."""
+            and foreign ids self-mask (morton-equality hit test fails).
+            The whole 8-row window resolves against all 128 queries with ONE
+            [16, 128lane] x [128lane, 128q] MXU matmul (rows 0-7 feature 0,
+            8-15 feature 1) — no per-corner lane gathers; the row-parity
+            select happens once per group after the window loop."""
             ws = (m << 3) & (s_rows - 1)
             win = tab_ref[pl.ds(ws, 8), :]
-            rr, lanes, w = rr_g[gi], lanes_g[gi], w_g[gi]
+            v0 = pltpu.bitcast(win & jnp.uint32(0xFFFF0000), jnp.float32)
+            v1 = pltpu.bitcast(win << 16, jnp.float32)
+            lhs = jnp.concatenate([v0, v1], axis=0).astype(jnp.bfloat16)
+            mw = jax.lax.dot_general(
+                lhs, p_g[gi], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [16, 128q]
             hitf = (mq_g[gi] == m).astype(jnp.float32)
-            # all 8 corners share the query's row rr, and the rr-select is
-            # linear: accumulate the weighted corner values per SUBLANE first
-            # (8 lane-gathers), then ONE sublane gather per feature — instead
-            # of 8 lane + 8 sublane gathers
-            p0, p1 = [], []
-            for c in range(8):
-                gat = jnp.take_along_axis(win, lanes[c], axis=1)
-                v0 = pltpu.bitcast(gat & jnp.uint32(0xFFFF0000), jnp.float32)
-                v1 = pltpu.bitcast(gat << 16, jnp.float32)
-                p0.append(w[c] * v0)
-                p1.append(w[c] * v1)
-            a0 = jnp.take_along_axis(_tree_sum(p0), rr, axis=0)
-            a1 = jnp.take_along_axis(_tree_sum(p1), rr, axis=0)
-            return hitf * a0, hitf * a1
+            return hitf * mw[0:8], hitf * mw[8:16]
 
-        # Window 0 (first unique id) always exists for every group: unrolled,
-        # written straight to the output block. A fori_loop entry costs
-        # ~400 ns (pipeline flush) vs ~24 ns per window body, so there is
-        # exactly ONE loop per (level, group-block), covering all groups to
-        # the block's max unique count; groups whose list is exhausted read
-        # the sentinel and waste a masked gather but no control flow.
-        for gi in range(groups):
-            a0, a1 = window(gi, wids_ref[gi * 128])
-            out_ref[0, 0, gi:gi + 1, :] = a0[0:1, :]
-            out_ref[0, 1, gi:gi + 1, :] = a1[0:1, :]
+        # Window 0 (first unique id) always exists for every group: unrolled
+        # as the register-accumulator init. A fori_loop entry costs ~400 ns
+        # (pipeline flush), so there is exactly ONE loop per (level,
+        # group-block), covering all groups to the block's max unique count;
+        # groups whose list is exhausted read the sentinel and waste a masked
+        # matmul but no control flow.
+        acc = tuple(window(gi, wids_ref[gi * 128]) for gi in range(groups))
 
         def body(j, carry):
+            new = []
             for gi in range(groups):
                 b0, b1 = window(gi, wids_ref[gi * 128 + j])
-                out_ref[0, 0, gi:gi + 1, :] += b0[0:1, :]
-                out_ref[0, 1, gi:gi + 1, :] += b1[0:1, :]
-            return carry
+                new.append((carry[gi][0] + b0, carry[gi][1] + b1))
+            return tuple(new)
 
-        jax.lax.fori_loop(1, maxcnt_ref[gb], body, 0)
+        acc = jax.lax.fori_loop(1, maxcnt_ref[gb], body, acc)
+        for gi in range(groups):
+            a0 = jnp.take_along_axis(acc[gi][0], rr_g[gi], axis=0)
+            a1 = jnp.take_along_axis(acc[gi][1], rr_g[gi], axis=0)
+            out_ref[0, 0, gi:gi + 1, :] = a0[0:1, :]
+            out_ref[0, 1, gi:gi + 1, :] = a1[0:1, :]
 
     return kernel
 
@@ -343,18 +364,27 @@ def _prepare(points: jnp.ndarray, enc):
     pts = pts.at[:n].set(points)
     ng = n_pad // 128
     n_gb = ng // GROUPS_PER_BLOCK
-    # [NG, 128, 3] -> [n_gb, 3, G, 128]
+    l = enc.n_levels
+    # [NG, 128, 3] -> [n_gb, 3, G, 128] (fwd/bwd layout)
     pts_b = (pts.reshape(n_gb, GROUPS_PER_BLOCK, 128, 3).transpose(0, 3, 1, 2))
     scales = jnp.asarray(enc.level_scales, jnp.float32)
     boffs = jnp.asarray(enc.block_offsets, jnp.int32).reshape(-1)
+    # prepass at its own block size; sub = PREPASS_GROUPS-chunks per fwd block
+    sub = GROUPS_PER_BLOCK // PREPASS_GROUPS
+    pts_p = pts.reshape(ng // PREPASS_GROUPS, PREPASS_GROUPS, 128,
+                        3).transpose(0, 3, 1, 2)
     wids, cnts = _windows_call(
-        pts_b, scales, boffs, n_levels=enc.n_levels,
+        pts_p, scales, boffs, n_levels=l,
         box_min=tuple(float(v) for v in enc.bounding_box[:3]),
         box_max=tuple(float(v) for v in enc.bounding_box[3:]))
-    cntb = cnts[:, :, :, 0].max(-1).T                       # [L, n_gb]
+    # [n_gb*sub, L, Gp, 128] -> fwd layout [n_gb, L, G, 128] flat
+    wids = (wids.reshape(n_gb, sub, l, PREPASS_GROUPS, LANES)
+            .transpose(0, 2, 1, 3, 4).reshape(-1))
+    cntb = cnts[:, :, :, 0].max(-1)                         # [n_gb*sub, L]
+    cntb = cntb.reshape(n_gb, sub, l).max(1).T              # [L, n_gb]
     ngb_pad = _next_mult(n_gb, 1024)  # SMEM int32 arrays tile at 1024
     maxcnt = jnp.pad(cntb, ((0, 0), (0, ngb_pad - n_gb))).reshape(-1)
-    return pts_b, wids.reshape(-1), maxcnt, n_pad
+    return pts_b, wids, maxcnt, n_pad
 
 
 def encode_prepared(table: jnp.ndarray, prep, n: int, enc) -> jnp.ndarray:
@@ -417,28 +447,7 @@ def _make_bwd_kernel(n_levels: int, s_rows: int, groups: int,
                 pts_ref, boffs_ref, scale, l, gi, box_min, inv)
             mq_g.append(m_q)
             rr_g.append(rr)
-            # E stacks: sublane u = this point's 1-D weight for vertex
-            # offset u along the axis ((1-f) at the local vertex, f one up)
-            stacks = []
-            for a in range(3):
-                loc = cell[a] & 3
-                e = (jnp.where(loc == iota_sub, 1.0 - frac[a], 0.0)
-                     + jnp.where(loc == (iota_sub - 1), frac[a], 0.0))
-                stacks.append(e)
-            prows = []
-            for k in range(16):
-                # lane = u*25 + v*5 + w; lanes >= 125 decode to u = 5 whose
-                # EX row is identically zero (loc <= 3), self-masking them
-                lane_id = 8 * k + iota_sub                  # [8, 128] i32
-                u = lane_id // 25
-                rem = lane_id - u * 25
-                v = rem // 5
-                w = rem - v * 5
-                pu = jnp.take_along_axis(stacks[0], u, axis=0)
-                pv = jnp.take_along_axis(stacks[1], v, axis=0)
-                pw = jnp.take_along_axis(stacks[2], w, axis=0)
-                prows.append((pu * pv * pw).astype(jnp.bfloat16))
-            p_g.append(jnp.concatenate(prows, axis=0))      # [128 lanes, 128 q]
+            p_g.append(_pattern_matrix(cell, frac, iota_sub))
             g_g.append((
                 jnp.broadcast_to(g_ref[0, 0, gi:gi + 1, :], (8, LANES)),
                 jnp.broadcast_to(g_ref[0, 1, gi:gi + 1, :], (8, LANES))))

@@ -1,9 +1,11 @@
 """Decompose the blocked-encode pipeline into its parts on the real TPU:
 prepass (_windows_call), fwd pallas kernel, bwd pallas kernel, and the XLA
-glue (pack_table_bf16, transposes). Each part is timed in an in-jit scan
-loop to amortize tunnel dispatch.
+glue (pack_table_bf16, transposes). Each part is timed inside ONE in-jit
+scan of REPS iterations; the tunnel's fixed per-dispatch floor (~25-35 ms,
+measured with an empty scan) is subtracted, and the whole thing is
+min-of-RUNS dispatches — REPS=8 single-shot numbers are floor-noise.
 
-Usage: PYTHONPATH=. python scripts/probe_encode_parts.py [n_tiles n_samples]
+Usage: PYTHONPATH=/root/.axon_site:.:scripts python scripts/probe_encode_parts.py [n_tiles n_samples]
 """
 import sys
 import time
@@ -17,18 +19,29 @@ from nerfpp_tpu.pallas import hash_encode_blocked as HEB
 from nerfpp_tpu.pallas.hash_encode import pack_table_bf16
 from bench_blocked_kernel import tile_coherent_points, BBOX, sync
 
-REPS = 8
+REPS = 64
+RUNS = 3
 
 
-def timeit(tag, fn, *args):
+def measure(fn, *args):
+    """Min-of-RUNS total wall time of one jitted call of fn(*args)."""
     out = fn(*args)
     sync(out)
-    sync(fn(*args))
-    t0 = time.perf_counter()
-    sync(fn(*args))
-    dt = (time.perf_counter() - t0) / REPS
-    print(f"{tag}: {dt*1e3:.3f} ms", flush=True)
-    return dt
+    best = float("inf")
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        sync(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def loop(body):
+    @jax.jit
+    def run(*args):
+        def step(c, _):
+            return c + body(c, *args), None
+        return jax.lax.scan(step, 0.0, None, length=REPS)[0]
+    return run
 
 
 def main():
@@ -50,26 +63,29 @@ def main():
     scales = jnp.asarray(enc.level_scales, jnp.float32)
     boffs = jnp.asarray(enc.block_offsets, jnp.int32).reshape(-1)
 
-    def loop(body):
-        @jax.jit
-        def run(*args):
-            def step(c, _):
-                return c + body(c, *args), None
-            return jax.lax.scan(step, 0.0, None, length=REPS)[0]
-        return run
+    # dispatch floor: an empty scan of the same length
+    floor = measure(loop(lambda c: c * 1.0000001 + 1e-9))
+    print(f"dispatch floor (empty x{REPS} scan): {floor*1e3:.2f} ms")
+
+    results = {}
+
+    def timeit(tag, fn, *args):
+        tot = measure(fn, *args)
+        dt = (tot - floor) / REPS
+        results[tag] = dt
+        print(f"{tag}: {dt*1e3:.3f} ms", flush=True)
+        return dt
 
     # -- full prepare (prepass + pad/transpose glue)
     prep = HEB._prepare(flat, enc)
-    full_prep = loop(lambda c, f: 1e-9 * jnp.sum(
-        HEB._prepare(f + c * 1e-7, enc)[1]))
-    t_prep = timeit("prepare total (pad+transpose+prepass)", full_prep, flat)
+    timeit("prepare", loop(lambda c, f: 1e-9 * jnp.sum(
+        HEB._prepare(f + c * 1e-7, enc)[1])), flat)
 
     # -- prepass kernel alone (input pre-transposed)
     pts_b = prep[0]
-    pp = loop(lambda c, pb: 1e-9 * jnp.sum(HEB._windows_call(
+    timeit("prepass", loop(lambda c, pb: 1e-9 * jnp.sum(HEB._windows_call(
         pb + c * 1e-7, scales, boffs, n_levels=enc.n_levels,
-        box_min=box_min, box_max=box_max)[0]))
-    t_pp = timeit("prepass kernel (_windows_call)", pp, pts_b)
+        box_min=box_min, box_max=box_max)[0])), pts_b)
 
     # -- fwd kernel alone (fixed prep, pre-packed table)
     l, s = enc.n_levels, enc.block_slots
@@ -77,21 +93,22 @@ def main():
     pts_b, wids, maxcnt, n_pad = prep
 
     def fwd_body(c, tp, pb):
-        out = HEB._fwd_call(tp, pb, wids, maxcnt, scales, boffs,
+        # carry must feed the call or XLA hoists it out of the scan
+        out = HEB._fwd_call(tp, pb + c * 1e-7, wids, maxcnt, scales, boffs,
                             n_levels=l, s_rows=s,
                             box_min=box_min, box_max=box_max)
-        return 1e-9 * jnp.sum(out) + c * 0.0
-    t_fwd = timeit("fwd kernel (_fwd_call only)", loop(fwd_body), tabp, pts_b)
+        return 1e-9 * jnp.sum(out)
+    timeit("fwd", loop(fwd_body), tabp, pts_b)
 
     # -- pack_table
-    t_pack = timeit("pack_table_bf16", loop(
+    timeit("pack", loop(
         lambda c, t: 1e-9 * jnp.sum(pack_table_bf16(t + c).astype(jnp.float32))),
         table)
 
     # -- fwd output transpose glue
     out = HEB._fwd_call(tabp, pts_b, wids, maxcnt, scales, boffs,
                         n_levels=l, s_rows=s, box_min=box_min, box_max=box_max)
-    t_tr = timeit("fwd out transpose [L,2,NG,128]->[N,2L]", loop(
+    timeit("out-tr", loop(
         lambda c, o: 1e-9 * jnp.sum(
             (o + c).transpose(2, 3, 0, 1).reshape(n_pad, 2 * l)[:n])), out)
 
@@ -105,19 +122,17 @@ def main():
                             n_levels=l, s_rows=s,
                             box_min=box_min, box_max=box_max)
         return 1e-9 * jnp.sum(out)
-    t_bwd = timeit("bwd kernel (_bwd_call only)", loop(bwd_body), g_b, pts_b)
+    timeit("bwd", loop(bwd_body), g_b, pts_b)
 
     # -- bwd grad-input transpose glue
-    t_gtr = timeit("bwd g transpose [N,2L]->[L,2,NG,128]", loop(
+    timeit("g-tr", loop(
         lambda c, gg: 1e-9 * jnp.sum(
             jnp.zeros((n_pad, 2 * l), jnp.float32).at[:n].set(gg + c)
             .reshape(ng, 128, l, 2).transpose(2, 3, 0, 1))), g)
 
-    print(f"\nsummary @{n} pts:")
-    print(f"  prepare {t_prep*1e3:.2f} (kernel {t_pp*1e3:.2f}) | "
-          f"fwd {t_fwd*1e3:.2f} | bwd {t_bwd*1e3:.2f} | "
-          f"pack {t_pack*1e3:.2f} | out-tr {t_tr*1e3:.2f} | g-tr {t_gtr*1e3:.2f}")
-    tot = t_prep + t_fwd + t_bwd + t_pack + t_tr + t_gtr
+    print(f"\nsummary @{n} pts (floor-corrected, min-of-{RUNS}):")
+    print("  " + " | ".join(f"{k} {v*1e3:.2f}" for k, v in results.items()))
+    tot = sum(results.values()) - results["prepass"]  # prepass inside prepare
     print(f"  total fwd+bwd pipeline {tot*1e3:.2f} ms -> {n/tot/1e6:.1f} M pts/s")
 
 

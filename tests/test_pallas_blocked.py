@@ -85,7 +85,8 @@ def test_window_lists_exact_and_bounded():
     # per (level, group) the list must contain exactly the occupied window
     # mortons (sorted, unique, sentinel-padded) — never more than 128
     enc = _enc()
-    ng = 8  # one group-block
+    from nerfpp_tpu.pallas.hash_encode_blocked import GROUPS_PER_BLOCK
+    ng = GROUPS_PER_BLOCK  # one group-block
     pts = _rand_pts(ng * 128).reshape(ng, 128, 3)
     wids, maxcnt = jax.tree.map(np.asarray,
                                 build_window_lists(jnp.asarray(pts), enc))
@@ -122,8 +123,9 @@ def test_fused_prepass_matches_oracle():
     wids_o, maxcnt_o = jax.tree.map(
         np.asarray, build_window_lists(pts.reshape(ng, 128, 3), enc))
     _, wids_f, maxcnt_f, _ = HEB._prepare(pts, enc)
-    l, n_gb = enc.n_levels, ng // 8
-    wo = (wids_o.reshape(l, n_gb, 8, 128).transpose(1, 0, 2, 3).reshape(-1))
+    gpb = HEB.GROUPS_PER_BLOCK
+    l, n_gb = enc.n_levels, ng // gpb
+    wo = (wids_o.reshape(l, n_gb, gpb, 128).transpose(1, 0, 2, 3).reshape(-1))
     np.testing.assert_array_equal(np.asarray(wids_f), wo)
     np.testing.assert_array_equal(np.asarray(maxcnt_f), maxcnt_o)
 
@@ -139,7 +141,7 @@ def test_kernel_matches_oracle_incoherent_points():
     tab_bf16 = params["table"].astype(jnp.bfloat16).astype(jnp.float32)
     ref = gather_trilerp_reference(tab_bf16, idx, frac).reshape(1024, -1)
     got = hash_encode_blocked(params["table"], pts, enc)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-7)
 
 
 @pytest.mark.parametrize("n", [1, 100, 2048])
@@ -151,8 +153,10 @@ def test_kernel_matches_oracle(n):
     tab_bf16 = params["table"].astype(jnp.bfloat16).astype(jnp.float32)
     ref = gather_trilerp_reference(tab_bf16, idx, frac).reshape(n, -1)
     got = hash_encode_blocked(params["table"], pts, enc)
-    # kernel accumulates in a different corner/window order: f32 noise only
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-8)
+    # the kernel's trilerp weights ride the MXU in bf16 (the same pattern
+    # matrix the backward uses): per-feature error bound is
+    # 8 corners x 2^-9 relative weight error x |v|max(1e-4 init) ~ 2e-7
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-7)
 
 
 @pytest.mark.parametrize("n", [100, 1500])
@@ -207,4 +211,4 @@ def test_kernel_clamped_out_of_bbox_points():
     tab_bf16 = params["table"].astype(jnp.bfloat16).astype(jnp.float32)
     ref = gather_trilerp_reference(tab_bf16, idx, frac).reshape(3, -1)
     got = hash_encode_blocked(params["table"], clamped, enc)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-7)
