@@ -283,7 +283,15 @@ def hashnerf_preset(**overrides) -> ExecutorParams:
         # TPU flagship training recipe: exp density (no dead-ReLU collapse)
         # and full-scale init — measured +10 dB over the reference's
         # relu + 0.1-gain combination at equal step counts
-        density_activation="trunc_exp", mlp_init_gain=1.0)
+        density_activation="trunc_exp", mlp_init_gain=1.0,
+        # hierarchical-path TPU accelerations, measured PSNR-neutral on the
+        # 64+192 reference workload (PERFORMANCE.md hier-budget study):
+        # tile-shared coarse z + importance CDF keeps encode groups
+        # coherent (+48% rays/s), and the coarse-ranked fine-pass budget
+        # (top 25% of tiles keep full n_importance, rest get 16) adds
+        # another ~1.8x. Exact per-ray reference semantics: hier_ray_tile=0.
+        hier_ray_tile=128, hier_tile_budget_frac=0.25,
+        hier_sparse_importance=16)
     for k, v in overrides.items():
         setattr(p, k, v)
     return p

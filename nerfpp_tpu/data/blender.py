@@ -51,6 +51,43 @@ def get_bbox3d_for_obj(scene: SceneData) -> np.ndarray:
     return np.concatenate([mn, mx]).astype(np.float32)
 
 
+def export_blender_scene(scene: SceneData, basedir) -> Path:
+    """Write a SceneData as a Blender-synthetic transforms tree.
+
+    Inverse of :func:`load_blender_data` — produces the exact on-disk layout
+    the reference consumes (load_blender.h:127-217): per-split
+    ``transforms_{split}.json`` with ``camera_angle_x`` + 4x4
+    ``transform_matrix`` frames, images as 8-bit PNGs under ``./{split}/``.
+    Lets any in-memory scene (e.g. data/synthetic.py) exercise the full
+    loader path end to end; note PNG quantization and the loader's own
+    near/far heuristic (get_bounds_for_obj) apply on re-load.
+    """
+    import cv2
+    basedir = Path(basedir)
+    for split in scene.splits:
+        idx = list(scene.split_indices(split))
+        if not idx:
+            continue
+        v0 = scene.views[idx[0]]
+        (basedir / split).mkdir(parents=True, exist_ok=True)
+        frames = []
+        for j, i in enumerate(idx):
+            v = scene.views[i]
+            rel = f"./{split}/r_{j}"
+            img = np.clip(np.asarray(scene.images[v.id]), 0.0, 1.0)
+            cv2.imwrite(str(basedir / f"{rel}.png"),
+                        np.round(img[..., ::-1] * 255.0).astype(np.uint8))
+            frames.append({
+                "file_path": rel,
+                "transform_matrix":
+                    np.asarray(v.pose, np.float64).reshape(4, 4).tolist(),
+            })
+        camera_angle_x = 2.0 * float(np.arctan(0.5 * v0.w / v0.k[0, 0]))
+        (basedir / f"transforms_{split}.json").write_text(json.dumps(
+            {"camera_angle_x": camera_angle_x, "frames": frames}, indent=1))
+    return basedir
+
+
 def load_blender_data(basedir, near: float = 0.0, far: float = 0.0,
                       half_res: bool = False, testskip: bool = True,
                       white_bkgr: bool = False) -> SceneData:

@@ -170,3 +170,38 @@ def test_blender_cli_white_bkgr_passthrough(tmp_path):
     args = build_parser().parse_args(
         ["train", "--dataset-type", "blender", "--data-dir", str(tmp_path)])
     assert _load_scene(args).white_bkgr is False
+
+
+def test_export_blender_scene_roundtrip(tmp_path):
+    """export_blender_scene -> load_blender_data round-trips poses,
+    intrinsics, and images (up to PNG quantization) — the path the bench's
+    blender_pipeline_psnr_db row trains through."""
+    pytest.importorskip("cv2")
+    from nerfpp_tpu.data.blender import export_blender_scene
+    from nerfpp_tpu.data.dataset import load_images
+    from nerfpp_tpu.data.synthetic import make_synthetic_scene
+
+    scene = make_synthetic_scene(n_train=3, n_val=1, n_test=1, image_hw=16,
+                                 n_samples=16, white_bkgr=False)
+    export_blender_scene(scene, tmp_path)
+    assert (tmp_path / "transforms_train.json").exists()
+    assert (tmp_path / "transforms_test.json").exists()
+
+    loaded = load_blender_data(tmp_path, testskip=False, white_bkgr=False)
+    assert len(loaded.views) == len(scene.views)
+    for split in ("train", "val", "test"):
+        src = [scene.views[i] for i in scene.split_indices(split)]
+        dst = [loaded.views[i] for i in loaded.split_indices(split)]
+        assert len(src) == len(dst)
+        for a, b in zip(src, dst):
+            np.testing.assert_allclose(b.pose, a.pose, atol=1e-6)
+            # focal reconstructed from camera_angle_x
+            np.testing.assert_allclose(b.k[0, 0], a.k[0, 0], rtol=1e-5)
+            assert (b.h, b.w) == (a.h, a.w)
+    # images round-trip up to 8-bit quantization
+    tid = list(loaded.split_indices("test"))[0]
+    img = load_images(loaded, [tid], white_bkgr=False)[0]
+    gt = scene.images[scene.views[list(scene.split_indices("test"))[0]].id]
+    assert np.abs(img - np.clip(gt, 0, 1)).max() <= (0.5 / 255) + 1e-6
+    # the loader applies its own near/far heuristic + corner-ray bbox
+    assert loaded.views[0].near > 0 and loaded.bounding_box.shape == (6,)
