@@ -411,6 +411,11 @@ def main() -> None:
                                       1e-10)))
         extras["blender_pipeline_psnr_db"] = round(pb, 2)
         extras["blender_pipeline_wall_s"] = round(time.perf_counter() - t0, 1)
+        extras["blender_pipeline_note"] = (
+            "trains through the real transforms_*.json loader; differs from"
+            " the direct-scene row by the loader's own near/far heuristic +"
+            " corner-ray bbox (load_blender.h:83-124 semantics — the JSON"
+            " format carries no bounds), not by pipeline loss")
         print(f"blender-pipeline 2100 steps: {pb:.2f} dB (direct-scene "
               f"2100-step: {extras.get('psnr_2100_steps_db')})",
               file=sys.stderr)
@@ -462,6 +467,21 @@ def main() -> None:
         rel = np.asarray(outl["lerf"].relevancy)[..., 0]
         gtl = scene_l.images[vl.id]
         mask = np.linalg.norm(gtl - blue, axis=-1) < 0.25
+        # localization AUC (Mann-Whitney rank statistic): P(relevancy at an
+        # object pixel > at a background pixel) — threshold-free, 0.5 =
+        # chance, 1.0 = perfect ranking. The regression-catching number.
+        r = rel.ravel()
+        m = mask.ravel()
+        order = np.argsort(r, kind="stable")
+        ranks = np.empty_like(order, dtype=np.float64)
+        ranks[order] = np.arange(1, r.size + 1)
+        n_pos, n_neg = int(m.sum()), int((~m).sum())
+        auc = ((ranks[m].sum() - n_pos * (n_pos + 1) / 2.0)
+               / max(n_pos * n_neg, 1))
+        extras["lerf_relevancy_auc"] = round(float(auc), 3)
+        # IoU at the fixed Kerr-style 0.5 threshold (softmax pairing vs
+        # negatives) — strict; the 24-d random-projection stand-in encoder
+        # can rank perfectly yet sit under 0.5, hence AUC above
         pred = rel > 0.5
         inter = float(np.logical_and(pred, mask).sum())
         union = max(float(np.logical_or(pred, mask).sum()), 1.0)
@@ -471,7 +491,8 @@ def main() -> None:
         # testset relevancy artifact (relevancy_0.png, JET colormap)
         exl.render_path([vl.pose], vl.h, vl.w, vl.k, tpl,
                         "/tmp/nerfpp_bench_lerf/testset")
-        print(f"LeRF relevancy IoU@0.5 (blue prim, held-out view): "
+        print(f"LeRF relevancy (blue prim, held-out view): AUC "
+              f"{extras['lerf_relevancy_auc']} IoU@0.5 "
               f"{extras['lerf_relevancy_iou']} "
               f"(lang_loss {extras['lerf_lang_loss']})", file=sys.stderr)
     except Exception as e:
