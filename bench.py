@@ -470,11 +470,14 @@ def main() -> None:
         # localization AUC (Mann-Whitney rank statistic): P(relevancy at an
         # object pixel > at a background pixel) — threshold-free, 0.5 =
         # chance, 1.0 = perfect ranking. The regression-catching number.
+        # Midranks (rankdata average) keep ties unbiased: a saturated or
+        # constant relevancy map scores exactly 0.5, not a memory-order
+        # artifact (the r4 run's 0.411 was positional ranks on an all-equal
+        # map from a collapsed field).
+        from scipy.stats import rankdata
         r = rel.ravel()
         m = mask.ravel()
-        order = np.argsort(r, kind="stable")
-        ranks = np.empty_like(order, dtype=np.float64)
-        ranks[order] = np.arange(1, r.size + 1)
+        ranks = rankdata(r, method="average")
         n_pos, n_neg = int(m.sum()), int((~m).sum())
         auc = ((ranks[m].sum() - n_pos * (n_pos + 1) / 2.0)
                / max(n_pos * n_neg, 1))

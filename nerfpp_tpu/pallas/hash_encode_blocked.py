@@ -51,6 +51,12 @@ from nerfpp_tpu.encoders import hashgrid as HG
 
 LANES = 128
 GROUPS_PER_BLOCK = 16         # groups (128 pts each) per fwd/bwd grid step
+# Window-list slots resolved per MXU matmul: 8 windows stack to a full
+# [128, 128] x [128, 128] op, so the group's pattern matrix is loaded into
+# the MXU once per 8 windows (vs once per [16, 128] sliver) and coherent
+# group-blocks (maxcnt <= 8, the trained-state common case) never enter the
+# window fori_loop at all — the unrolled init covers them.
+WINDOW_BATCH = 8
 # The window-list prepass kernel runs at its own (smaller) block size: its
 # bitonic sort is measurably fastest on single-VREG [8, 128] operands, while
 # the fwd/bwd kernels amortize their fori_loop flush best at 16 groups.
@@ -197,25 +203,31 @@ def _spread_bits(v):
     return v
 
 
-def _group_geometry(pts_ref, boffs_ref, scale, l, gi, box_min, inv):
-    """Shared fwd/bwd per-group geometry: cell, frac, window morton, row
-    parity. All [8, 128] VREGs (128 points replicated over sublanes)."""
-    cell, frac, ob = [], [], []
+def _block_geometry(pts_ref, boffs_ref, scale, l, box_min, inv):
+    """Shared fwd/bwd geometry computed ONCE per (level, group-block) on the
+    whole [G, 128] point block (vs per-group [8, 128] recompute — a ~3x cut
+    of the kernel's fixed per-group cost). Returns per-axis frac/local-vertex
+    stacks and the block-wide window morton + row parity, all [G, 128]."""
+    fracs, locs, ob = [], [], []
     for a in range(3):
-        x = jnp.broadcast_to(pts_ref[0, a, gi:gi + 1, :], (8, LANES))
+        x = pts_ref[0, a]                # [G, 128]
         s = (x - box_min[a]) * (inv[a] * scale)
         c = s.astype(jnp.int32)          # floor: s >= 0 after clamp
-        cell.append(c)
-        frac.append(s - c.astype(jnp.float32))
+        fracs.append(s - c.astype(jnp.float32))
+        locs.append(c & 3)
         ob.append((c >> 2) + boffs_ref[3 * l + a])
-    oc = [b >> 1 for b in ob]
-    m_q = (_spread_bits(oc[0]) | (_spread_bits(oc[1]) << 1)
-           | (_spread_bits(oc[2]) << 2))
+    m_q = (_spread_bits(ob[0] >> 1) | (_spread_bits(ob[1] >> 1) << 1)
+           | (_spread_bits(ob[2] >> 1) << 2))
     rr = (ob[0] & 1) | ((ob[1] & 1) << 1) | ((ob[2] & 1) << 2)
-    return cell, frac, m_q, rr
+    return fracs, locs, m_q, rr
 
 
-def _pattern_matrix(cell, frac, iota_sub):
+def _row8(x, gi):
+    """Row gi of a [G, 128] block value broadcast to the [8, 128] query VREG."""
+    return jnp.broadcast_to(x[gi:gi + 1, :], (8, LANES))
+
+
+def _pattern_matrix(fracs, locs, gi, iota_sub):
     """Per-(group, level) trilerp weight-pattern matrix P [128 lanes, 128 q]:
     P[lane, q] = the trilerp weight of the block-row vertex at ``lane``
     (= u*25 + v*5 + w in the 5x5x5 halo layout) for query q — nonzero only
@@ -224,33 +236,37 @@ def _pattern_matrix(cell, frac, iota_sub):
 
     Built from the per-axis 1-D weight stacks EX/EY/EZ (sublane u = weight
     of vertex offset u: (1-f) at the local vertex, f one up; rows 5-7 are
-    identically zero so lanes >= 125 self-mask)."""
+    identically zero so lanes >= 125 self-mask). The product is factored as
+    EX[u] * (EY ⊗ EZ): one [25, 128] inner matrix EZY (row v*5+w), then five
+    u-slabs — fewer sublane copies than expanding three full [128, 128]
+    factors. f32 throughout with ONE final bf16 rounding per slab (the
+    oracle tests bound the error to a single weight rounding)."""
     stacks = []
     for a in range(3):
-        loc = cell[a] & 3
-        e = (jnp.where(loc == iota_sub, 1.0 - frac[a], 0.0)
-             + jnp.where(loc == (iota_sub - 1), frac[a], 0.0))
+        loc = _row8(locs[a], gi)
+        f = _row8(fracs[a], gi)
+        e = (jnp.where(loc == iota_sub, 1.0 - f, 0.0)
+             + jnp.where(loc == (iota_sub - 1), f, 0.0))
         stacks.append(e)
     ex, ey, ez = stacks
-    # the lane decode is u = lane//25, v = (lane%25)//5, w = lane%5, so each
-    # per-axis expansion is a static sublane repeat/tile broadcast — no
-    # gathers: PX[lane] = EX[u], PY[lane] = EY[v], PZ[lane] = EZ[w]. Lanes
-    # 125-127 decode to u = 5 whose EX row is identically zero (loc <= 3),
-    # self-masking them.
-    px = jnp.concatenate(
-        [jnp.broadcast_to(ex[u:u + 1], (25, LANES)) for u in range(5)]
-        + [jnp.broadcast_to(ex[5:6], (3, LANES))], axis=0)
-    py25 = jnp.concatenate(
-        [jnp.broadcast_to(ey[v:v + 1], (5, LANES)) for v in range(5)], axis=0)
-    py = jnp.concatenate([py25] * 5 + [py25[:3]], axis=0)
-    pz5 = ez[:5]
-    pz = jnp.concatenate([pz5] * 25 + [pz5[:3]], axis=0)
-    return (px * py * pz).astype(jnp.bfloat16)
+    # lane decode: u = lane//25, v = (lane%25)//5, w = lane%5
+    ezy = jnp.concatenate(
+        [jnp.broadcast_to(ey[v:v + 1], (5, LANES)) for v in range(5)],
+        axis=0) * jnp.concatenate([ez[0:5]] * 5, axis=0)     # [25, 128]
+    parts = [(jnp.broadcast_to(ex[u:u + 1], (25, LANES)) * ezy
+              ).astype(jnp.bfloat16) for u in range(5)]
+    # lanes 125-127 decode to u = 5 whose EX row is identically zero
+    # (loc <= 3), self-masking them
+    parts.append((jnp.broadcast_to(ex[5:6], (3, LANES)) * ezy[:3]
+                  ).astype(jnp.bfloat16))
+    return jnp.concatenate(parts, axis=0)                    # [128, 128] bf16
 
 
 def _make_fwd_kernel(n_levels: int, s_rows: int, groups: int,
                      box_min, box_max):
     inv = [1.0 / (box_max[a] - box_min[a]) for a in range(3)]
+
+    wk = WINDOW_BATCH
 
     def kernel(scales_ref, boffs_ref, wids_ref, maxcnt_ref, pts_ref, tab_ref,
                out_ref):
@@ -258,49 +274,60 @@ def _make_fwd_kernel(n_levels: int, s_rows: int, groups: int,
         gb = pl.program_id(1)
         scale = scales_ref[l]
         iota_sub = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
-        # per-group geometry (python lists indexed by group — all VREGs)
-        mq_g, rr_g, p_g = [], [], []
-        for gi in range(groups):
-            cell, frac, m_q, rr = _group_geometry(
-                pts_ref, boffs_ref, scale, l, gi, box_min, inv)
-            mq_g.append(m_q)
-            rr_g.append(rr)
-            p_g.append(_pattern_matrix(cell, frac, iota_sub))
+        # block-wide geometry once, per-group pattern matrices (VREG lists)
+        fracs, locs, m_q_b, rr_b = _block_geometry(
+            pts_ref, boffs_ref, scale, l, box_min, inv)
+        mq_g = [_row8(m_q_b, gi) for gi in range(groups)]
+        rr_g = [_row8(rr_b, gi) for gi in range(groups)]
+        p_g = [_pattern_matrix(fracs, locs, gi, iota_sub)
+               for gi in range(groups)]
 
-        def window(gi, m):
-            """One window (scalar morton id m) of group gi; sentinel-padded
-            and foreign ids self-mask (morton-equality hit test fails).
-            The whole 8-row window resolves against all 128 queries with ONE
-            [16, 128lane] x [128lane, 128q] MXU matmul (rows 0-7 feature 0,
-            8-15 feature 1) — no per-corner lane gathers; the row-parity
-            select happens once per group after the window loop."""
-            ws = (m << 3) & (s_rows - 1)
-            win = tab_ref[pl.ds(ws, 8), :]
-            v0 = pltpu.bitcast(win & jnp.uint32(0xFFFF0000), jnp.float32)
-            v1 = pltpu.bitcast(win << 16, jnp.float32)
-            lhs = jnp.concatenate([v0, v1], axis=0).astype(jnp.bfloat16)
+        def window_batch(gi, j0):
+            """WINDOW_BATCH consecutive window-list slots of group gi resolve
+            against all 128 queries with ONE [16*wk, 128lane] x
+            [128lane, 128q] MXU matmul (at wk=8 a full 128x128x128 op —
+            the pattern matrix stays loaded for all 8 windows instead of
+            reloading per [16, 128] sliver). Sentinel-padded and foreign ids
+            self-mask (morton-equality hit test fails); the row-parity
+            select happens once per group after the loop."""
+            ms, parts = [], []
+            for k in range(wk):
+                m = wids_ref[gi * 128 + j0 + k]
+                ms.append(m)
+                ws = (m << 3) & (s_rows - 1)
+                win = tab_ref[pl.ds(ws, 8), :]
+                parts.append(
+                    pltpu.bitcast(win & jnp.uint32(0xFFFF0000), jnp.float32))
+                parts.append(pltpu.bitcast(win << 16, jnp.float32))
+            lhs = jnp.concatenate(parts, axis=0).astype(jnp.bfloat16)
             mw = jax.lax.dot_general(
                 lhs, p_g[gi], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [16, 128q]
-            hitf = (mq_g[gi] == m).astype(jnp.float32)
-            return hitf * mw[0:8], hitf * mw[8:16]
+                preferred_element_type=jnp.float32)        # [16*wk, 128q]
+            a0 = a1 = None
+            for k in range(wk):
+                hitf = (mq_g[gi] == ms[k]).astype(jnp.float32)
+                b0 = hitf * mw[16 * k:16 * k + 8]
+                b1 = hitf * mw[16 * k + 8:16 * k + 16]
+                a0 = b0 if a0 is None else a0 + b0
+                a1 = b1 if a1 is None else a1 + b1
+            return a0, a1
 
-        # Window 0 (first unique id) always exists for every group: unrolled
-        # as the register-accumulator init. A fori_loop entry costs ~400 ns
-        # (pipeline flush), so there is exactly ONE loop per (level,
-        # group-block), covering all groups to the block's max unique count;
-        # groups whose list is exhausted read the sentinel and waste a masked
-        # matmul but no control flow.
-        acc = tuple(window(gi, wids_ref[gi * 128]) for gi in range(groups))
+        # The first wk window slots (the coherent-group common case: every
+        # unique id) are unrolled as the register-accumulator init — a
+        # fori_loop entry costs ~400 ns (pipeline flush), so group-blocks
+        # with maxcnt <= wk never enter the loop at all; the single loop
+        # covers all groups to the block's max count in wk-window strides.
+        acc = tuple(window_batch(gi, 0) for gi in range(groups))
 
         def body(j, carry):
             new = []
             for gi in range(groups):
-                b0, b1 = window(gi, wids_ref[gi * 128 + j])
+                b0, b1 = window_batch(gi, j * wk)
                 new.append((carry[gi][0] + b0, carry[gi][1] + b1))
             return tuple(new)
 
-        acc = jax.lax.fori_loop(1, maxcnt_ref[gb], body, acc)
+        nb = (maxcnt_ref[gb] + (wk - 1)) // wk
+        acc = jax.lax.fori_loop(1, nb, body, acc)
         for gi in range(groups):
             a0 = jnp.take_along_axis(acc[gi][0], rr_g[gi], axis=0)
             a1 = jnp.take_along_axis(acc[gi][1], rr_g[gi], axis=0)
@@ -430,6 +457,8 @@ def _make_bwd_kernel(n_levels: int, s_rows: int, groups: int,
     """
     inv = [1.0 / (box_max[a] - box_min[a]) for a in range(3)]
 
+    wk = WINDOW_BATCH
+
     def kernel(scales_ref, boffs_ref, wids_ref, maxcnt_ref, pts_ref, g_ref,
                out_ref):
         l = pl.program_id(0)
@@ -441,43 +470,52 @@ def _make_bwd_kernel(n_levels: int, s_rows: int, groups: int,
 
         scale = scales_ref[l]
         iota_sub = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+        fracs, locs, m_q_b, rr_b = _block_geometry(
+            pts_ref, boffs_ref, scale, l, box_min, inv)
         mq_g, rr_g, p_g, g_g = [], [], [], []
         for gi in range(groups):
-            cell, frac, m_q, rr = _group_geometry(
-                pts_ref, boffs_ref, scale, l, gi, box_min, inv)
-            mq_g.append(m_q)
-            rr_g.append(rr)
-            p_g.append(_pattern_matrix(cell, frac, iota_sub))
+            mq_g.append(_row8(m_q_b, gi))
+            rr_g.append(_row8(rr_b, gi))
+            p_g.append(_pattern_matrix(fracs, locs, gi, iota_sub))
             g_g.append((
                 jnp.broadcast_to(g_ref[0, 0, gi:gi + 1, :], (8, LANES)),
                 jnp.broadcast_to(g_ref[0, 1, gi:gi + 1, :], (8, LANES))))
 
-        def scatter_window(gi, m):
-            ws = (m << 3) & (s_rows - 1)
-            hit = mq_g[gi] == m
-            arow = jnp.where(hit & (rr_g[gi] == iota_sub), 1.0, 0.0)
-            # both features ride ONE [16, 128q] x [128q, 128lane] matmul:
-            # rows 0-7 select f0's window rows, 8-15 f1's
-            lhs = jnp.concatenate(
-                [(arow * g_g[gi][0]).astype(jnp.bfloat16),
-                 (arow * g_g[gi][1]).astype(jnp.bfloat16)], axis=0)
+        def scatter_batch(gi, j0):
+            """WINDOW_BATCH window slots of group gi: all their masked
+            gradient rows ride ONE [16*wk, 128q] x [128q, 128lane] matmul
+            (rows 16k..16k+7 select window k's f0 rows, +8 f1's); only the
+            wk VMEM row-range accumulates stay per-window. Sentinel slots
+            contribute zero rows (hit test fails)."""
+            ms, parts = [], []
+            for k in range(wk):
+                m = wids_ref[gi * 128 + j0 + k]
+                ms.append(m)
+                arow = jnp.where((mq_g[gi] == m) & (rr_g[gi] == iota_sub),
+                                 1.0, 0.0)
+                parts.append((arow * g_g[gi][0]).astype(jnp.bfloat16))
+                parts.append((arow * g_g[gi][1]).astype(jnp.bfloat16))
+            lhs = jnp.concatenate(parts, axis=0)           # [16*wk, 128q]
             dw = jax.lax.dot_general(
                 lhs, p_g[gi], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [16, 128]
-            out_ref[0, 0, pl.ds(ws, 8), :] += dw[0:8]
-            out_ref[0, 1, pl.ds(ws, 8), :] += dw[8:16]
+                preferred_element_type=jnp.float32)        # [16*wk, 128]
+            for k in range(wk):
+                ws = (ms[k] << 3) & (s_rows - 1)
+                out_ref[0, 0, pl.ds(ws, 8), :] += dw[16 * k:16 * k + 8]
+                out_ref[0, 1, pl.ds(ws, 8), :] += dw[16 * k + 8:16 * k + 16]
 
-        # same ONE-loop-per-(level, group-block) shape as the forward:
-        # window 0 unrolled, sentinel/foreign ids self-masked by the hit test
+        # same ONE-loop-per-(level, group-block) shape as the forward: the
+        # first wk slots unrolled, sentinel/foreign ids self-masked
         for gi in range(groups):
-            scatter_window(gi, wids_ref[gi * 128])
+            scatter_batch(gi, 0)
 
         def body(j, carry):
             for gi in range(groups):
-                scatter_window(gi, wids_ref[gi * 128 + j])
+                scatter_batch(gi, j * wk)
             return carry
 
-        jax.lax.fori_loop(1, maxcnt_ref[gb], body, 0)
+        nb = (maxcnt_ref[gb] + (wk - 1)) // wk
+        jax.lax.fori_loop(1, nb, body, 0)
 
     return kernel
 
