@@ -136,7 +136,7 @@ def main() -> None:
         stateq, mq = many_fn(stateq, sampler, key, k=50)
         quality_steps += 50
         _sync(jax, mq["loss"])
-        if quality_steps == 2100:
+        if quality_steps >= 2100 and "psnr_2100_steps_db" not in extras:
             # mid-train checkpoint PSNR: the comparison point for the
             # blender-loader pipeline train below (same scene, same steps)
             ex.state = stateq
@@ -146,6 +146,9 @@ def main() -> None:
             extras["psnr_2100_steps_db"] = round(float(
                 -10 * np.log10(max(float(np.mean((rgbm - gt) ** 2)),
                                    1e-10))), 2)
+            # on a slow host the loop may pass 2100 late; record where the
+            # control was actually taken so the pipeline row stays honest
+            extras["psnr_2100_steps_actual"] = quality_steps
     ex.state = stateq
     # quality eval renders UNBUDGETED (preset default is auto): the PSNR
     # line measures the trained field, not the render-budget trade-off
@@ -411,6 +414,10 @@ def main() -> None:
                                       1e-10)))
         extras["blender_pipeline_psnr_db"] = round(pb, 2)
         extras["blender_pipeline_wall_s"] = round(time.perf_counter() - t0, 1)
+        if "psnr_2100_steps_db" not in extras:
+            extras["blender_pipeline_control"] = (
+                "absent: the direct-scene quality loop timed out before"
+                " step 2100 — the pipeline row has no same-step comparison")
         extras["blender_pipeline_note"] = (
             "trains through the real transforms_*.json loader; differs from"
             " the direct-scene row by the loader's own near/far heuristic +"

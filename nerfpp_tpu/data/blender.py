@@ -69,14 +69,31 @@ def export_blender_scene(scene: SceneData, basedir) -> Path:
         if not idx:
             continue
         v0 = scene.views[idx[0]]
+        # the format carries ONE camera_angle_x per split — per-view
+        # intrinsics cannot round-trip, so refuse rather than silently
+        # exporting a wrong focal for every other view
+        for i in idx:
+            v = scene.views[i]
+            if (v.h, v.w) != (v0.h, v0.w) or not np.isclose(
+                    float(v.k[0, 0]), float(v0.k[0, 0])):
+                raise ValueError(
+                    f"export_blender_scene: split '{split}' mixes "
+                    f"intrinsics (view {v.id} vs {v0.id}); the "
+                    "transforms_*.json format shares one camera_angle_x")
         (basedir / split).mkdir(parents=True, exist_ok=True)
         frames = []
         for j, i in enumerate(idx):
             v = scene.views[i]
             rel = f"./{split}/r_{j}"
             img = np.clip(np.asarray(scene.images[v.id]), 0.0, 1.0)
+            # preserve alpha (BGRA for cv2) — the loader composites RGBA
+            # onto white under white_bkgr, so dropping it would change pixels
+            if img.ndim == 3 and img.shape[-1] == 4:
+                img = img[..., [2, 1, 0, 3]]
+            else:
+                img = img[..., ::-1]
             cv2.imwrite(str(basedir / f"{rel}.png"),
-                        np.round(img[..., ::-1] * 255.0).astype(np.uint8))
+                        np.round(img * 255.0).astype(np.uint8))
             frames.append({
                 "file_path": rel,
                 "transform_matrix":
