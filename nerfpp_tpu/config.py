@@ -161,6 +161,16 @@ class ExecutorParams:
     # 0 = off. Requires hier_ray_tile > 0 and n_importance > 0.
     hier_tile_budget_frac: float = 0.0
     hier_sparse_importance: int = 32
+    # Data-parallel gradient all-reduce mode (multi-device meshes only):
+    # "bf16" (default) assigns whole chunks to devices under shard_map and
+    # all-reduces the per-device gradients in ONE bf16 psum — half the ICI
+    # bytes of the fp32 reduce (the 67 MB table grads dominate; the fp32
+    # master Adam update is unchanged). "f32" = same explicit psum in fp32
+    # (matches the implicit path to reduction order). "implicit" = let
+    # XLA's SPMD partitioner insert the fp32 all-reduce (pre-round-5
+    # behavior). Falls back to implicit when n_chunks isn't a multiple of
+    # the device count (e.g. chunk == n_rand).
+    dp_grad_reduce: str = "bf16"
 
     KEYMAP = {
         "net_depth": "net_depth", "net_width": "net_width",
@@ -218,6 +228,7 @@ class ExecutorParams:
         "hier_ray_tile": "hier_ray_tile",
         "hier_tile_budget_frac": "hier_tile_budget_frac",
         "hier_sparse_importance": "hier_sparse_importance",
+        "dp_grad_reduce": "dp_grad_reduce",
     }
 
 

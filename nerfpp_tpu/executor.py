@@ -36,6 +36,7 @@ from typing import Any, Callable, Dict, Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 import optax
 
 from nerfpp_tpu.config import ExecutorParams, TrainParams
@@ -379,11 +380,15 @@ class NeRFExecutor:
             raw_noise_std = jnp.maximum(0.0, 1.0 - stepf / (n_iters / 8.0))
             sp_alpha = sp_alpha0 * jnp.maximum(0.0, 1.0 - stepf / (n_iters / 6.0))
 
-            def loss_fn(params):
+            def make_chunk_sums(params, occ_c, step_c, rns_c, spa_c, local):
+                """chunk_sums with its traced context explicit, so the same
+                body serves the global (implicit-SPMD) path and the shard_map
+                body (which must receive outer tracers as arguments)."""
                 def chunk_sums(chunk_args):
                     """Per-chunk render + loss partial sums (rematerialized)."""
                     cb, kr, kl = chunk_args
-                    cb = mesh_utils.shard_rays(cb, mesh)
+                    if not local:
+                        cb = mesh_utils.shard_rays(cb, mesh)
                     sums = {}
                     if p.use_nerf and (use_budget or use_hier_budget):
                         def budgeted_sums(a):
@@ -395,8 +400,8 @@ class NeRFExecutor:
                                         nerf_integrate_fn,
                                         cb["rays_o"], cb["rays_d"],
                                         cb["cone_angle"],
-                                        kr, cfg, bbox, raw_noise_std,
-                                        sp_alpha, occupancy=occ,
+                                        kr, cfg, bbox, rns_c,
+                                        spa_c, occupancy=occ_c,
                                         dense_frac=p.occ_tile_budget_frac,
                                         sparse_samples=p.occ_sparse_samples)
                             else:
@@ -406,8 +411,8 @@ class NeRFExecutor:
                                         nerf_integrate_fn,
                                         cb["rays_o"], cb["rays_d"],
                                         cb["cone_angle"],
-                                        kr, cfg, bbox, raw_noise_std,
-                                        sp_alpha,
+                                        kr, cfg, bbox, rns_c,
+                                        spa_c,
                                         dense_frac=p.hier_tile_budget_frac,
                                         sparse_importance=
                                         p.hier_sparse_importance)
@@ -425,8 +430,8 @@ class NeRFExecutor:
                             res = render_ray_batch(
                                 params, nerf_network_fn, nerf_integrate_fn,
                                 cb["rays_o"], cb["rays_d"], cb["cone_angle"],
-                                kr, cfg, bbox, raw_noise_std, sp_alpha,
-                                occupancy=occ if use_occ else None)
+                                kr, cfg, bbox, rns_c, spa_c,
+                                occupancy=occ_c if use_occ else None)
                             rgb = res.outputs.rgb
                             target = jax.lax.stop_gradient(cb["target_rgb"])
                             return (jnp.sum((rgb - target) ** 2),
@@ -442,7 +447,7 @@ class NeRFExecutor:
                         warm = int(p.occ_tile_budget_warmup
                                    if use_budget else p.hier_budget_warmup)
                         if warm > 0:
-                            sq, hub = jax.lax.cond(step < warm, full_sums,
+                            sq, hub = jax.lax.cond(step_c < warm, full_sums,
                                                    budgeted_sums, (cb, kr))
                         else:
                             sq, hub = budgeted_sums((cb, kr))
@@ -452,8 +457,8 @@ class NeRFExecutor:
                         res = render_ray_batch(
                             params, nerf_network_fn, nerf_integrate_fn,
                             cb["rays_o"], cb["rays_d"], cb["cone_angle"],
-                            kr, cfg, bbox, raw_noise_std, sp_alpha,
-                            occupancy=occ if use_occ else None)
+                            kr, cfg, bbox, rns_c, spa_c,
+                            occupancy=occ_c if use_occ else None)
                         rgb = res.outputs.rgb
                         target = jax.lax.stop_gradient(cb["target_rgb"])
                         sums["sq_sum"] = jnp.sum((rgb - target) ** 2)
@@ -464,7 +469,7 @@ class NeRFExecutor:
                             params, lerf_net, lerf_int,
                             cb["rays_o"], cb["rays_d"], cb["cone_angle"],
                             kl, dataclasses.replace(cfg, use_viewdirs=False),
-                            bbox, raw_noise_std, sp_alpha)
+                            bbox, rns_c, spa_c)
                         # huber(delta=1.25).sum(-1).nanmean() (h:969-973)
                         le = lres.outputs.rendered_lang_embedding
                         tgt = jax.lax.stop_gradient(cb["target_lang"])
@@ -476,49 +481,120 @@ class NeRFExecutor:
                         sums["lang_n"] = jnp.sum(finite)
                     return sums
 
-                chunked = jax.tree.map(
-                    lambda x: (x.reshape(n_chunks, chunk, *x.shape[1:])
-                               if hasattr(x, "ndim") and x.ndim >= 1
-                               and x.shape[0] == tp.n_rand else
-                               jnp.broadcast_to(x, (n_chunks,))), batch)
-                kr = jax.random.split(k_render, n_chunks)
-                kl = jax.random.split(k_lerf, n_chunks)
-                if n_chunks == 1:
-                    sums = jax.tree.map(
+                return chunk_sums
+
+            def tv_term(params, step_c, k_tv_c):
+                """Weight-1e-6 TV loss, first half of training (h:897-913)."""
+                tv = 0.0
+                tv_keys = jax.random.split(k_tv_c, embedder.n_levels)
+                for lvl in range(embedder.n_levels):
+                    tv = tv + total_variation_loss(
+                        embedder, params["embed"], lvl, tv_keys[lvl])
+                return jnp.where(step_c < n_iters // 2, 1e-6 * tv, 0.0)
+
+            def run_chunks(csums, ch, krx, klx, nc):
+                if nc == 1:
+                    return jax.tree.map(
                         lambda x: x[None],
-                        chunk_sums((jax.tree.map(lambda x: x[0], chunked),
-                                    kr[0], kl[0])))
-                else:
-                    sums = jax.lax.map(jax.checkpoint(chunk_sums),
-                                       (chunked, kr, kl))
+                        csums((jax.tree.map(lambda x: x[0], ch),
+                               krx[0], klx[0])))
+                return jax.lax.map(jax.checkpoint(csums), (ch, krx, klx))
 
-                loss = 0.0
+            chunked = jax.tree.map(
+                lambda x: (x.reshape(n_chunks, chunk, *x.shape[1:])
+                           if hasattr(x, "ndim") and x.ndim >= 1
+                           and x.shape[0] == tp.n_rand else
+                           jnp.broadcast_to(x, (n_chunks,))), batch)
+            krs = jax.random.split(k_render, n_chunks)
+            kls = jax.random.split(k_lerf, n_chunks)
+            n_pix = float(tp.n_rand * 3)
+            n_dev = 1 if mesh is None else int(mesh.devices.size)
+            # Explicit-psum data parallelism: whole chunks are assigned to
+            # devices under shard_map and the per-device gradients are
+            # all-reduced in ONE psum whose dtype we own — bf16 halves the
+            # ICI bytes (the 67 MB table grads dominate; PERFORMANCE.md
+            # weak-scaling section), the fp32 master update is unchanged.
+            # Chunk math, keys, and shapes are identical to the implicit
+            # path, so fp32-reduce mode matches it to reduction order.
+            use_expl = (n_dev > 1 and p.dp_grad_reduce in ("bf16", "f32")
+                        and n_chunks % n_dev == 0)
+
+            if use_expl:
+                axis = mesh_utils.DATA_AXIS
+                local_chunks = n_chunks // n_dev
+                rdt = (jnp.bfloat16 if p.dp_grad_reduce == "bf16"
+                       else jnp.float32)
+                occ_arg = occ if occ is not None else jnp.zeros(())
+
+                def local_vag(params, ch, krx, klx, occ_c, step_c, rns_c,
+                              spa_c, ktv_c):
+                    def local_loss(prm):
+                        csums = make_chunk_sums(prm, occ_c, step_c, rns_c,
+                                                spa_c, True)
+                        sums = jax.tree.map(
+                            jnp.sum,
+                            run_chunks(csums, ch, krx, klx, local_chunks))
+                        ll = 0.0
+                        if p.use_nerf:
+                            # global normalizer: device losses sum to the
+                            # global loss; param-only TV is replicated, so
+                            # /n_dev makes the psum restore it exactly
+                            ll = ll + sums["huber_sum"] / n_pix
+                            if use_tv:
+                                ll = ll + tv_term(prm, step_c, ktv_c) / n_dev
+                        if p.use_lerf:
+                            lang_n_g = jax.lax.psum(sums["lang_n"], axis)
+                            ll = ll + (sums["lang_sum"]
+                                       / jnp.maximum(lang_n_g, 1))
+                        return ll, sums
+                    (ll, sums_l), g = jax.value_and_grad(
+                        local_loss, has_aux=True)(params)
+                    g = jax.tree.map(
+                        lambda x: jax.lax.psum(x.astype(rdt), axis)
+                        .astype(x.dtype), g)
+                    return (jax.lax.psum(ll, axis),
+                            jax.tree.map(lambda x: jax.lax.psum(x, axis),
+                                         sums_l), g)
+
+                loss, sums_g, grads = jax.shard_map(
+                    local_vag, mesh=mesh,
+                    in_specs=(P(), P(axis), P(axis), P(axis), P(), P(), P(),
+                              P(), P()),
+                    out_specs=(P(), P(), P()), check_vma=False,
+                )(state["params"], chunked, krs, kls, occ_arg, step,
+                  raw_noise_std, sp_alpha, k_tv)
                 metrics = {}
-                n_pix = float(tp.n_rand * 3)
                 if p.use_nerf:
-                    mse = jnp.sum(sums["sq_sum"]) / n_pix
-                    img_loss = jnp.sum(sums["huber_sum"]) / n_pix
-                    loss = loss + img_loss
-                    metrics["mse"] = mse
-                    metrics["img_loss"] = img_loss
-                    if use_tv:
-                        # weight 1e-6, first half of training (h:897-913)
-                        tv = 0.0
-                        tv_keys = jax.random.split(k_tv, embedder.n_levels)
-                        for lvl in range(embedder.n_levels):
-                            tv = tv + total_variation_loss(
-                                embedder, params["embed"], lvl, tv_keys[lvl])
-                        loss = loss + jnp.where(step < n_iters // 2,
-                                                1e-6 * tv, 0.0)
+                    metrics["mse"] = sums_g["sq_sum"] / n_pix
+                    metrics["img_loss"] = sums_g["huber_sum"] / n_pix
                 if p.use_lerf:
-                    lang_loss = (jnp.sum(sums["lang_sum"])
-                                 / jnp.maximum(jnp.sum(sums["lang_n"]), 1))
-                    loss = loss + lang_loss
-                    metrics["lang_loss"] = lang_loss
-                return loss, metrics
+                    metrics["lang_loss"] = (
+                        sums_g["lang_sum"]
+                        / jnp.maximum(sums_g["lang_n"], 1))
+            else:
+                def loss_fn(params):
+                    csums = make_chunk_sums(params, occ, step, raw_noise_std,
+                                            sp_alpha, False)
+                    sums = run_chunks(csums, chunked, krs, kls, n_chunks)
+                    loss = 0.0
+                    metrics = {}
+                    if p.use_nerf:
+                        mse = jnp.sum(sums["sq_sum"]) / n_pix
+                        img_loss = jnp.sum(sums["huber_sum"]) / n_pix
+                        loss = loss + img_loss
+                        metrics["mse"] = mse
+                        metrics["img_loss"] = img_loss
+                        if use_tv:
+                            loss = loss + tv_term(params, step, k_tv)
+                    if p.use_lerf:
+                        lang_loss = (jnp.sum(sums["lang_sum"])
+                                     / jnp.maximum(jnp.sum(sums["lang_n"]), 1))
+                        loss = loss + lang_loss
+                        metrics["lang_loss"] = lang_loss
+                    return loss, metrics
 
-            (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state["params"])
+                (loss, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state["params"])
             updates, opt_state = tx.update(grads, state["opt_state"],
                                            state["params"])
             new_params = optax.apply_updates(state["params"], updates)

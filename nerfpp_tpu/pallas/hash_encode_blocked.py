@@ -51,12 +51,17 @@ from nerfpp_tpu.encoders import hashgrid as HG
 
 LANES = 128
 GROUPS_PER_BLOCK = 16         # groups (128 pts each) per fwd/bwd grid step
-# Window-list slots resolved per MXU matmul: 8 windows stack to a full
-# [128, 128] x [128, 128] op, so the group's pattern matrix is loaded into
-# the MXU once per 8 windows (vs once per [16, 128] sliver) and coherent
-# group-blocks (maxcnt <= 8, the trained-state common case) never enter the
-# window fori_loop at all — the unrolled init covers them.
-WINDOW_BATCH = 8
+# Window-list slots resolved per MXU matmul: w windows stack to a
+# [16*w, 128] x [128, 128] op, so the group's pattern matrix is loaded into
+# the MXU once per w windows (vs once per [16, 128] sliver) and coherent
+# group-blocks (maxcnt <= w) never enter the window fori_loop at all — the
+# unrolled init covers them. The trade: the init always EXECUTES w window
+# slots per group, so larger w buys matmul efficiency with sentinel waste
+# when typical unique counts sit below it. Tuned separately (TPU sweep,
+# PERFORMANCE.md round-5): the backward pays 2 extra VMEM row-range
+# accumulates per slot, so its optimum is smaller than the forward's.
+WINDOW_BATCH_FWD = 8
+WINDOW_BATCH_BWD = 8
 # The window-list prepass kernel runs at its own (smaller) block size: its
 # bitonic sort is measurably fastest on single-VREG [8, 128] operands, while
 # the fwd/bwd kernels amortize their fori_loop flush best at 16 groups.
@@ -263,10 +268,10 @@ def _pattern_matrix(fracs, locs, gi, iota_sub):
 
 
 def _make_fwd_kernel(n_levels: int, s_rows: int, groups: int,
-                     box_min, box_max):
+                     box_min, box_max, wk=None):
     inv = [1.0 / (box_max[a] - box_min[a]) for a in range(3)]
 
-    wk = WINDOW_BATCH
+    wk = WINDOW_BATCH_FWD if wk is None else wk
 
     def kernel(scales_ref, boffs_ref, wids_ref, maxcnt_ref, pts_ref, tab_ref,
                out_ref):
@@ -338,14 +343,15 @@ def _make_fwd_kernel(n_levels: int, s_rows: int, groups: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_levels", "s_rows", "box_min", "box_max"))
+    jax.jit,
+    static_argnames=("n_levels", "s_rows", "box_min", "box_max", "wk"))
 def _fwd_call(tab_packed, pts_b, wids, maxcnt, scales, boffs, *,
-              n_levels, s_rows, box_min, box_max):
+              n_levels, s_rows, box_min, box_max, wk=None):
     ng = pts_b.shape[0] * GROUPS_PER_BLOCK
     ngb_pad = maxcnt.shape[0] // n_levels    # 1024-padded group-block count
     n_gb = pts_b.shape[0]
     kernel = _make_fwd_kernel(n_levels, s_rows, GROUPS_PER_BLOCK,
-                              box_min, box_max)
+                              box_min, box_max, wk)
     interpret = jax.devices()[0].platform != "tpu"
     out = pl.pallas_call(
         kernel,
@@ -443,7 +449,7 @@ def hash_encode_blocked(table: jnp.ndarray, points: jnp.ndarray, enc
 # --------------------------------------------------------------- backward
 
 def _make_bwd_kernel(n_levels: int, s_rows: int, groups: int,
-                     box_min, box_max):
+                     box_min, box_max, wk=None):
     """Gradient scatter kernel. The key identity: a point's 8 corner
     contributions within its single block row are the rank-1 tensor
     (wx outer wy outer wz) placed at lane u*25 + v*5 + w with
@@ -457,7 +463,7 @@ def _make_bwd_kernel(n_levels: int, s_rows: int, groups: int,
     """
     inv = [1.0 / (box_max[a] - box_min[a]) for a in range(3)]
 
-    wk = WINDOW_BATCH
+    wk = WINDOW_BATCH_BWD if wk is None else wk
 
     def kernel(scales_ref, boffs_ref, wids_ref, maxcnt_ref, pts_ref, g_ref,
                out_ref):
@@ -521,13 +527,14 @@ def _make_bwd_kernel(n_levels: int, s_rows: int, groups: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_levels", "s_rows", "box_min", "box_max"))
+    jax.jit,
+    static_argnames=("n_levels", "s_rows", "box_min", "box_max", "wk"))
 def _bwd_call(pts_b, g_b, wids, maxcnt, scales, boffs, *,
-              n_levels, s_rows, box_min, box_max):
+              n_levels, s_rows, box_min, box_max, wk=None):
     ngb_pad = maxcnt.shape[0] // n_levels    # 1024-padded group-block count
     n_gb = pts_b.shape[0]
     kernel = _make_bwd_kernel(n_levels, s_rows, GROUPS_PER_BLOCK,
-                              box_min, box_max)
+                              box_min, box_max, wk)
     interpret = jax.devices()[0].platform != "tpu"
     out = pl.pallas_call(
         kernel,

@@ -255,3 +255,63 @@ def test_mesh_render_views_matches_sequential(tmp_path):
         # depth/disp maps come back per view too
         assert np.asarray(par[0]["nerf"].depth).shape == (v0.h, v0.w)
         assert np.isfinite(float(par[0]["near_far"][0]))
+
+
+def test_dp_explicit_psum_grad_reduce_modes():
+    """dp_grad_reduce: the explicit shard_map+psum path (whole chunks per
+    device, one owned all-reduce) must match the implicit SPMD path to
+    reduction order in f32 mode, and track it within bf16 gradient-rounding
+    tolerance in bf16 mode (the default — half the ICI bytes)."""
+    from nerfpp_tpu.config import hashnerf_preset, TrainParams
+    from nerfpp_tpu.data.dataset import RayBatchSampler
+    from nerfpp_tpu.data.synthetic import make_synthetic_scene
+    from nerfpp_tpu.executor import NeRFExecutor
+
+    scene = make_synthetic_scene(n_train=2, n_val=1, n_test=1, image_hw=16)
+    # chunk 32 / n_rand 256 = 8 chunks: one whole chunk per device, the
+    # explicit path's eligibility shape (chunk % 128 != 0 also keeps the
+    # preset's hier budget off so the plain hierarchical branch runs)
+    tp = TrainParams(n_samples=8, n_rand=256, n_iters=4, chunk=32,
+                     i_print=0, i_weights=0, i_testset=0, i_img=0,
+                     base_dir="/tmp/dpexpl")
+    sampler = RayBatchSampler.from_scene(scene, tp.n_rand)
+    mesh = mesh_utils.make_mesh()
+
+    def run(mode):
+        p = hashnerf_preset(n_importance=8, log2_hashmap_size=10, n_levels=4,
+                            finest_resolution=32, dp_grad_reduce=mode)
+        ex = NeRFExecutor(p)
+        ex.white_bkgr = scene.white_bkgr
+        ex.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+        step = ex._build_train_step(tp, mesh=mesh)
+        st = mesh_utils.put_replicated(ex.state, mesh)
+        losses = []
+        for _ in range(3):
+            st, m = step(st, sampler, jax.random.PRNGKey(7))
+            losses.append(float(m["loss"]))
+        return (losses,
+                np.asarray(jax.device_get(
+                    st["params"]["model"]["sigma_net"][0]["w"])),
+                np.asarray(jax.device_get(st["params"]["embed"]["table"])))
+
+    l_imp, w_imp, t_imp = run("implicit")
+    l_f32, w_f32, t_f32 = run("f32")
+    l_bf, w_bf, t_bf = run("bf16")
+
+    # Forward/grad path parity shows in the per-step losses: any systematic
+    # gradient error compounds there within 3 steps. Parameters can't be
+    # compared elementwise-tight: Adam with eps=1e-15 normalizes to
+    # ~lr*sign(g), so reduction-order (or bf16-rounding) noise on near-zero
+    # gradients flips a few updates by up to 2*lr — bound the tail instead.
+    np.testing.assert_allclose(l_f32, l_imp, rtol=1e-5)
+    np.testing.assert_allclose(l_bf, l_imp, rtol=1e-4)
+
+    def tail(a, b, q99, cap):
+        d = np.abs(a - b)
+        assert np.quantile(d, 0.99) <= q99, np.quantile(d, 0.99)
+        assert d.max() <= cap, d.max()   # cap = 3 steps x 2*lr sign flips
+
+    tail(w_f32, w_imp, 5e-4, 0.06)
+    tail(t_f32, t_imp, 5e-4, 0.06)
+    tail(w_bf, w_imp, 5e-3, 0.06)
+    tail(t_bf, t_imp, 5e-3, 0.06)
