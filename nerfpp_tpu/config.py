@@ -264,6 +264,13 @@ class TrainParams:
     # executable to amortize host/interconnect dispatch latency; reduced to
     # gcd with the active logging/checkpoint intervals to keep their timing
     steps_per_call: int = 1
+    # bbox re-fit at warmup end (new; needs the occupancy grid): > 0 = at
+    # the first dispatch boundary past this step, shrink the scene AABB to
+    # where the trained field has mass (executor.refit_bbox_from_grid) and
+    # rebuild the position-keyed state. Recovers the hash/grid resolution
+    # that conservative loader bounds (load_blender.h:83-124 corner-ray
+    # bbox) waste on empty space. 0 = off.
+    bbox_refit_step: int = 0
 
     KEYMAP = {
         "pyramid_clip_embedding_save_dir": "PyramidClipEmbeddingSaveDir",
@@ -277,6 +284,7 @@ class TrainParams:
         "precorp_frac": "PrecorpFrac",
         "tile_h": "TileH", "tile_w": "TileW",
         "steps_per_call": "StepsPerCall",
+        "bbox_refit_step": "BboxRefitStep",
     }
 
 

@@ -189,6 +189,101 @@ class NeRFExecutor:
         self.sp_alpha0 = float(0.02 * diag)
         return self.state
 
+    def refit_bbox_from_grid(self, pad: float = 0.15,
+                             thresh_frac: float = 0.02,
+                             min_shrink: float = 1.5,
+                             seed: int = 17) -> bool:
+        """Shrink the scene AABB to where the trained field has mass.
+
+        Loader-derived bounds (get_bbox3d_for_obj, the load_blender.h:99-124
+        corner-ray semantics — the transforms JSON carries no scene bounds)
+        are intentionally conservative: on an object-centric capture the box
+        can be tens of times the object's volume, which coarsens the finest
+        hash level and the occupancy grid relative to the object (measured
+        -4 dB through the Blender pipeline, BENCH_r04). After a warmup the
+        occupancy grid knows where the mass is: take cells above
+        ``thresh_frac`` of the grid peak, pad by ``pad`` of the new extent,
+        and rebuild the position-keyed state — embedder tables re-init,
+        fresh uniform grid, zeroed Adam moments for the tables — keeping the
+        MLPs and the step counter (supervision is unchanged, so the field
+        re-converges in a few hundred steps). Returns False (no-op) unless
+        the volume shrinks by at least ``min_shrink``.
+        """
+        occ = self.state.get("occupancy") if self.state else None
+        if occ is None or self.bounding_box is None:
+            return False
+        d = np.asarray(occ.density)
+        g = d.shape[0]
+        peak = float(d.max())
+        if peak <= 0.0:
+            return False
+        # update_grid's meshgrid(indexing="ij") maps density[i, j, k] to
+        # world (x, y, z) cell indices directly
+        idx = np.argwhere(d > thresh_frac * peak)
+        if idx.size == 0:
+            return False
+        old = self.bounding_box.reshape(2, 3)
+        cell = (old[1] - old[0]) / g
+        lo = old[0] + idx.min(0) * cell
+        hi = old[0] + (idx.max(0) + 1) * cell
+        span = hi - lo
+        lo = np.maximum(lo - pad * span, old[0])
+        hi = np.minimum(hi + pad * span, old[1])
+        old_vol = float(np.prod(old[1] - old[0]))
+        new_vol = float(np.prod(hi - lo))
+        if new_vol <= 0.0 or old_vol / new_vol < min_shrink:
+            return False
+        new_box = np.concatenate([lo, hi]).astype(np.float32)
+
+        p = self.params
+        keys = jax.random.split(jax.random.PRNGKey(seed), 2)
+        params = dict(self.state["params"])
+        self.bounding_box = new_box
+        if p.use_nerf:
+            self.embedder = self._build_embedder(new_box)
+            if hasattr(self.embedder, "init"):
+                params["embed"] = self.embedder.init(keys[0])
+        if p.use_lerf:
+            self.lang_embedder = HashGridEncoder(
+                new_box, p.n_levels_le, p.n_features_per_level_le,
+                p.log2_hashmap_size_le, p.base_resolution_le,
+                p.finest_resolution_le, scheme=p.hash_scheme, primes_seed=1,
+                use_pallas=(p.use_pallas_encoder
+                            and p.hash_scheme == "blocked"))
+            params["lang_embed"] = self.lang_embedder.init(keys[1])
+
+        # table shapes are bbox-independent, so the optimizer state's
+        # structure is unchanged: zero only the re-initialized tables'
+        # Adam moments, keeping the schedule count and the MLP moments
+        from jax.tree_util import DictKey, tree_map_with_path
+
+        def zero_embed_moments(path, leaf):
+            if hasattr(leaf, "shape") and any(
+                    isinstance(k, DictKey)
+                    and k.key in ("embed", "lang_embed") for k in path):
+                return jnp.zeros_like(leaf)
+            return leaf
+
+        opt_state = tree_map_with_path(zero_embed_moments,
+                                       self.state["opt_state"])
+        new_state = {"params": params, "opt_state": opt_state,
+                     "step": self.state["step"]}
+        if "occupancy" in self.state:
+            from nerfpp_tpu.core.occupancy import make_occupancy_grid
+            new_state["occupancy"] = make_occupancy_grid(
+                p.occ_grid_resolution)
+        self.state = new_state
+        diag = np.linalg.norm(new_box[3:] - new_box[:3])
+        self.sp_alpha0 = float(0.02 * diag)
+        # jitted render/probe caches close over the old bbox/encoder
+        self._render_cache = {}
+        if hasattr(self, "_probe_cache"):
+            self._probe_cache = {}
+        print(f"bbox refit: {np.round(old.reshape(-1), 2).tolist()} -> "
+              f"{np.round(new_box, 2).tolist()} "
+              f"({old_vol / new_vol:.1f}x volume shrink)")
+        return True
+
     # ------------------------------------------------------------- closures
 
     def _sample_major(self) -> bool:
@@ -703,8 +798,19 @@ class NeRFExecutor:
         t_start = time.perf_counter()
         rays_done = 0
         profiler_ctx = None
+        refit_pending = tp.bbox_refit_step > 0
         i = self.start
         while i + 1 < tp.n_iters:
+            if refit_pending and i >= tp.bbox_refit_step:
+                # warmup over: shrink the bbox to the field's mass and
+                # rebuild the step (one recompile; see refit_bbox_from_grid)
+                refit_pending = False
+                self.state = state
+                if self.refit_bbox_from_grid():
+                    state = self.state
+                    train_step = self._build_train_step(tp, mesh)
+                    train_many = (self._build_train_many(train_step)
+                                  if spc > 1 else None)
             if profile_dir is not None and profiler_ctx is None \
                     and i >= self.start + 9:
                 profiler_ctx = profiling.trace(profile_dir)
