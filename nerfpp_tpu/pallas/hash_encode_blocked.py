@@ -478,37 +478,45 @@ def _make_bwd_kernel(n_levels: int, s_rows: int, groups: int,
         iota_sub = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
         fracs, locs, m_q_b, rr_b = _block_geometry(
             pts_ref, boffs_ref, scale, l, box_min, inv)
-        mq_g, rr_g, p_g, g_g = [], [], [], []
+        zero_bf = jnp.zeros((8, LANES), jnp.bfloat16)
+        mq_g, p_g, g_g = [], [], []
         for gi in range(groups):
             mq_g.append(_row8(m_q_b, gi))
-            rr_g.append(_row8(rr_b, gi))
             p_g.append(_pattern_matrix(fracs, locs, gi, iota_sub))
+            # row-parity-masked gradient rows, built ONCE per group (the
+            # window loop's per-slot work is then a single hit-select per
+            # feature instead of cmp+and+mul+cast per slot)
+            par = _row8(rr_b, gi) == iota_sub
             g_g.append((
-                jnp.broadcast_to(g_ref[0, 0, gi:gi + 1, :], (8, LANES)),
-                jnp.broadcast_to(g_ref[0, 1, gi:gi + 1, :], (8, LANES))))
+                jnp.where(par, jnp.broadcast_to(
+                    g_ref[0, 0, gi:gi + 1, :], (8, LANES)), 0.0
+                          ).astype(jnp.bfloat16),
+                jnp.where(par, jnp.broadcast_to(
+                    g_ref[0, 1, gi:gi + 1, :], (8, LANES)), 0.0
+                          ).astype(jnp.bfloat16)))
 
         def scatter_batch(gi, j0):
             """WINDOW_BATCH window slots of group gi: all their masked
             gradient rows ride ONE [16*wk, 128q] x [128q, 128lane] matmul
             (rows 16k..16k+7 select window k's f0 rows, +8 f1's); only the
             wk VMEM row-range accumulates stay per-window. Sentinel slots
-            contribute zero rows (hit test fails)."""
+            contribute zero rows (hit test fails). The grad slab is window-
+            interleaved ([2*ws, 2*ws+16) = f0 rows then f1 rows) so both
+            features land in ONE contiguous 16-row accumulate."""
             ms, parts = [], []
             for k in range(wk):
                 m = wids_ref[gi * 128 + j0 + k]
                 ms.append(m)
-                arow = jnp.where((mq_g[gi] == m) & (rr_g[gi] == iota_sub),
-                                 1.0, 0.0)
-                parts.append((arow * g_g[gi][0]).astype(jnp.bfloat16))
-                parts.append((arow * g_g[gi][1]).astype(jnp.bfloat16))
+                hit = mq_g[gi] == m
+                parts.append(jnp.where(hit, g_g[gi][0], zero_bf))
+                parts.append(jnp.where(hit, g_g[gi][1], zero_bf))
             lhs = jnp.concatenate(parts, axis=0)           # [16*wk, 128q]
             dw = jax.lax.dot_general(
                 lhs, p_g[gi], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)        # [16*wk, 128]
             for k in range(wk):
-                ws = (ms[k] << 3) & (s_rows - 1)
-                out_ref[0, 0, pl.ds(ws, 8), :] += dw[16 * k:16 * k + 8]
-                out_ref[0, 1, pl.ds(ws, 8), :] += dw[16 * k + 8:16 * k + 16]
+                ws2 = (ms[k] << 4) & (2 * s_rows - 1)
+                out_ref[0, pl.ds(ws2, 16), :] += dw[16 * k:16 * k + 16]
 
         # same ONE-loop-per-(level, group-block) shape as the forward: the
         # first wk slots unrolled, sentinel/foreign ids self-masked
@@ -555,13 +563,14 @@ def _bwd_call(pts_b, g_b, wids, maxcnt, scales, boffs, *,
             pl.BlockSpec((1, 2, GROUPS_PER_BLOCK, LANES),
                          lambda l, g: (l, 0, g, 0), memory_space=pltpu.VMEM),
         ],
-        # the level's [2, S, 128] gradient slab is revisited (accumulated)
-        # across all group-blocks: the grid iterates g fastest, so the block
-        # stays resident in VMEM for the whole level sweep
-        out_specs=pl.BlockSpec((1, 2, s_rows, LANES),
-                               lambda l, g: (l, 0, 0, 0),
+        # the level's window-interleaved [2*S, 128] gradient slab is
+        # revisited (accumulated) across all group-blocks: the grid iterates
+        # g fastest, so the block stays resident in VMEM for the whole level
+        # sweep. Rows [2*ws, 2*ws+16) hold window ws's f0 then f1 rows.
+        out_specs=pl.BlockSpec((1, 2 * s_rows, LANES),
+                               lambda l, g: (l, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_levels, 2, s_rows, LANES),
+        out_shape=jax.ShapeDtypeStruct((n_levels, 2 * s_rows, LANES),
                                        jnp.float32),
     )(scales, boffs, wids, maxcnt, pts_b, g_b)
     return out
@@ -586,8 +595,10 @@ def grad_prepared(g: jnp.ndarray, prep, n: int, enc) -> jnp.ndarray:
                     n_levels=l, s_rows=s,
                     box_min=tuple(float(v) for v in enc.bounding_box[:3]),
                     box_max=tuple(float(v) for v in enc.bounding_box[3:]))
-    # [L, 2, S, 128] -> flat entry space [L * S * 128, 2]
-    return out.transpose(0, 2, 3, 1).reshape(l * s * LANES, 2)
+    # window-interleaved [L, 2*S, 128] (16-row chunks: 8 f0 rows then 8 f1
+    # rows per window) -> flat entry space [L * S * 128, 2]
+    return (out.reshape(l, s // 8, 2, 8, LANES)
+            .transpose(0, 1, 3, 4, 2).reshape(l * s * LANES, 2))
 
 
 def hash_encode_blocked_bwd(g: jnp.ndarray, points: jnp.ndarray, enc
