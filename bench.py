@@ -454,8 +454,14 @@ def main() -> None:
         red = np.array([0.9, 0.25, 0.2], np.float32)     # prim 0 color
         def patch(c):
             return np.broadcast_to(c, (1, 16, 16, 3)).astype(np.float32)
+        # sampling config = the round-5 sweep winner (scripts/lerf_sweep.py):
+        # hierarchical 32+16 per-ray CDF. The r4 config (32 uniform samples,
+        # no importance) landed BOTH fields in the empty-field basin
+        # (accLE = 0 -> constant relevancy -> the below-chance AUC 0.411);
+        # the importance pass restores the LeRF density's feedback loop.
         pl = hashnerf_preset(
-            n_importance=0, log2_hashmap_size=14, n_levels=8,
+            n_importance=16, hier_ray_tile=0, hier_tile_budget_frac=0.0,
+            log2_hashmap_size=14, n_levels=8,
             finest_resolution=128, use_lerf=True, lang_embed_dim=24,
             n_levels_le=4, log2_hashmap_size_le=12, finest_resolution_le=64)
         tpl = TrainParams(n_samples=32, n_rand=2048, n_iters=1001,

@@ -260,13 +260,20 @@ class RandomProjectionPatchEncoder:
         rng = np.random.RandomState(seed)
         self.proj = rng.randn(input_size * input_size * 3, embed_dim) \
             .astype(np.float32) / np.sqrt(input_size * input_size * 3)
+        # affine term: real CLIP maps EVERY patch — including an all-black
+        # one — to a unit-norm embedding. A pure linear projection sends
+        # black patches to ~0, which a unit-normalized rendered embedding
+        # can never fit (the LeRF lang loss plateaus ~0.45 on dark-
+        # background scenes); the bias gives background its own consistent
+        # unit direction, like CLIP's.
+        self.bias = (rng.randn(embed_dim) * 0.3).astype(np.float32)
 
     def __call__(self, patches: np.ndarray) -> np.ndarray:
         import cv2
         s = self.input_size
         flat = np.stack([
             cv2.resize(p, (s, s)).reshape(-1) for p in patches])
-        out = flat @ self.proj
+        out = flat @ self.proj + self.bias
         return out / np.maximum(np.linalg.norm(out, axis=-1, keepdims=True),
                                 1e-8)
 

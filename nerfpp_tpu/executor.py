@@ -333,7 +333,8 @@ class NeRFExecutor:
             self.params.lang_embed_dim,
             self.lerf_positives if with_relevancy else None,
             self.lerf_negatives if with_relevancy else None,
-            use_raw_noise=use_raw_noise)
+            use_raw_noise=use_raw_noise,
+            density_activation=self.params.density_activation)
         return network_fn, integrate_fn
 
     def _sigma_grid_fn(self):

@@ -94,10 +94,17 @@ def make_lerf_network_fn(lang_embed_fn, lerf_field_fn,
 def make_lerf_integrate_fn(lang_embed_dim: int,
                            positives: Optional[jnp.ndarray] = None,
                            negatives: Optional[jnp.ndarray] = None,
-                           use_raw_noise: bool = False):
+                           use_raw_noise: bool = False,
+                           density_activation: str = "relu"):
     """LeRF integrator (RawToLEOutputs, LeRFRenderer.cpp:27-82): the language
     field's own density drives the weights; embeddings are composited and
-    normalized; relevancy is scored against prompt embeddings if provided."""
+    normalized; relevancy is scored against prompt embeddings if provided.
+
+    ``density_activation`` must match the executor's configured activation:
+    the r4 bench's LeRF collapse (accLE = 0 everywhere -> constant relevancy
+    -> the below-chance AUC) was this integrator silently staying on the
+    reference's relu while the NeRF branch ran trunc_exp — the bias-free
+    0.1-gain init + lr 1e-2 dead-ReLU mode the README documents."""
 
     def integrate_fn(raw_le, z_vals, rays_d, raw_noise_std, key):
         dists = dists_from_z(z_vals, rays_d)
@@ -106,7 +113,7 @@ def make_lerf_integrate_fn(lang_embed_dim: int,
         if use_raw_noise:
             density = density + jax.random.normal(key, density.shape) * raw_noise_std
 
-        alpha = alpha_from_density(density, dists)
+        alpha = alpha_from_density(density, dists, density_activation)
         weights = weights_from_alpha(alpha)
 
         acc = jnp.sum(weights, axis=-1)

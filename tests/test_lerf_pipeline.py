@@ -115,11 +115,13 @@ def test_lerf_end_to_end_train_step():
     key = jax.random.PRNGKey(0)
     state, m0 = train_step(state, sampler, key)
     losses = []
-    for _ in range(30):
+    for _ in range(60):
         state, m = train_step(state, sampler, key)
         losses.append(float(m["lang_loss"]))
     assert np.isfinite(losses).all()
-    # language loss should decrease over training
+    # language loss should decrease over training (60 steps: the live
+    # trunc_exp LeRF density fits slower early than the old dead-relu
+    # collapse slide, but goes strictly lower)
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
     # relevancy rendering with prompts
