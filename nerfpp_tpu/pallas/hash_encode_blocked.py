@@ -596,9 +596,15 @@ def grad_prepared(g: jnp.ndarray, prep, n: int, enc) -> jnp.ndarray:
                     box_min=tuple(float(v) for v in enc.bounding_box[:3]),
                     box_max=tuple(float(v) for v in enc.bounding_box[3:]))
     # window-interleaved [L, 2*S, 128] (16-row chunks: 8 f0 rows then 8 f1
-    # rows per window) -> flat entry space [L * S * 128, 2]
-    return (out.reshape(l, s // 8, 2, 8, LANES)
-            .transpose(0, 1, 3, 4, 2).reshape(l * s * LANES, 2))
+    # rows per window) -> flat entry space [L * S * 128, 2]. Two transposes:
+    # the first un-interleaves touching only MAJOR axes (the minor dim stays
+    # the 128-lane axis), the second is the [L, 2, S, 128] -> [N, 2] pattern.
+    # Fusing them into one 5-D transpose (minor dim 2) makes XLA relayout
+    # the gradient — and, through Adam, the table/mu/nu state — into
+    # lane-padded [N, 2] T(8,128) buffers: 64x expansion, +12 GB, step OOM.
+    u = (out.reshape(l, s // 8, 2, 8, LANES).transpose(0, 2, 1, 3, 4)
+         .reshape(l, 2, s, LANES))
+    return u.transpose(0, 2, 3, 1).reshape(l * s * LANES, 2)
 
 
 def hash_encode_blocked_bwd(g: jnp.ndarray, points: jnp.ndarray, enc
