@@ -171,6 +171,22 @@ class ExecutorParams:
     # behavior). Falls back to implicit when n_chunks isn't a multiple of
     # the device count (e.g. chunk == n_rand).
     dp_grad_reduce: str = "bf16"
+    # Collapse auto-recovery (the robustness default, VERDICT r4 #5): pure
+    # occupancy-guided sampling can land thin-geometry scenes in the
+    # all-white/constant-fog optimum (acc ~ 1 everywhere, near-constant
+    # render — the reference never fails this way because its importance
+    # pass is always on, NeRFRenderer.h:425-450). When active (occupancy
+    # on, n_importance == 0), the train loop watches the batch-render
+    # standard deviation (metrics["pred_std"]); if by auto_fine_check_from
+    # steps it sits under auto_fine_rel_std x the GT pixel std, the loop
+    # engages the occ+importance hybrid (n_importance = auto_fine_samples,
+    # tile budget off — the thin-scene recipe) and rebuilds the step. One
+    # recompile when (and only when) a collapse is detected; scenes that
+    # train normally never pay anything.
+    auto_fine_fallback: bool = True
+    auto_fine_samples: int = 16
+    auto_fine_check_from: int = 256
+    auto_fine_rel_std: float = 0.1
 
     KEYMAP = {
         "net_depth": "net_depth", "net_width": "net_width",
@@ -229,6 +245,10 @@ class ExecutorParams:
         "hier_tile_budget_frac": "hier_tile_budget_frac",
         "hier_sparse_importance": "hier_sparse_importance",
         "dp_grad_reduce": "dp_grad_reduce",
+        "auto_fine_fallback": "auto_fine_fallback",
+        "auto_fine_samples": "auto_fine_samples",
+        "auto_fine_check_from": "auto_fine_check_from",
+        "auto_fine_rel_std": "auto_fine_rel_std",
     }
 
 

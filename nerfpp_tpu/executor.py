@@ -515,13 +515,16 @@ class NeRFExecutor:
                                         sparse_importance=
                                         p.hier_sparse_importance)
                             target = jax.lax.stop_gradient(cb["target_rgb"])
-                            sq = hub = 0.0
+                            sq = hub = ps = ps2 = 0.0
                             for res, idx in ((res_d, idx_d), (res_s, idx_s)):
                                 rgb = res.outputs.rgb
                                 t = target[idx]
                                 sq = sq + jnp.sum((rgb - t) ** 2)
                                 hub = hub + jnp.sum(huber_loss(rgb, t))
-                            return sq, hub
+                                rs = jax.lax.stop_gradient(rgb)
+                                ps = ps + jnp.sum(rs)
+                                ps2 = ps2 + jnp.sum(rs * rs)
+                            return sq, hub, ps, ps2
 
                         def full_sums(a):
                             cb, kr = a
@@ -532,8 +535,10 @@ class NeRFExecutor:
                                 occupancy=occ_c if use_occ else None)
                             rgb = res.outputs.rgb
                             target = jax.lax.stop_gradient(cb["target_rgb"])
+                            rs = jax.lax.stop_gradient(rgb)
                             return (jnp.sum((rgb - target) ** 2),
-                                    jnp.sum(huber_loss(rgb, target)))
+                                    jnp.sum(huber_loss(rgb, target)),
+                                    jnp.sum(rs), jnp.sum(rs * rs))
 
                         # budget warmup: the class split starves DISCOVERY —
                         # a thin structure in a sparse-class tile is never
@@ -545,12 +550,15 @@ class NeRFExecutor:
                         warm = int(p.occ_tile_budget_warmup
                                    if use_budget else p.hier_budget_warmup)
                         if warm > 0:
-                            sq, hub = jax.lax.cond(step_c < warm, full_sums,
-                                                   budgeted_sums, (cb, kr))
+                            sq, hub, ps, ps2 = jax.lax.cond(
+                                step_c < warm, full_sums, budgeted_sums,
+                                (cb, kr))
                         else:
-                            sq, hub = budgeted_sums((cb, kr))
+                            sq, hub, ps, ps2 = budgeted_sums((cb, kr))
                         sums["sq_sum"] = sq
                         sums["huber_sum"] = hub
+                        sums["pred_sum"] = ps
+                        sums["pred_sq"] = ps2
                     elif p.use_nerf:
                         res = render_ray_batch(
                             params, nerf_network_fn, nerf_integrate_fn,
@@ -561,6 +569,9 @@ class NeRFExecutor:
                         target = jax.lax.stop_gradient(cb["target_rgb"])
                         sums["sq_sum"] = jnp.sum((rgb - target) ** 2)
                         sums["huber_sum"] = jnp.sum(huber_loss(rgb, target))
+                        rs = jax.lax.stop_gradient(rgb)
+                        sums["pred_sum"] = jnp.sum(rs)
+                        sums["pred_sq"] = jnp.sum(rs * rs)
                     if p.use_lerf:
                         lerf_net, lerf_int = lerf_fns
                         lres = render_ray_batch(
@@ -665,6 +676,9 @@ class NeRFExecutor:
                 if p.use_nerf:
                     metrics["mse"] = sums_g["sq_sum"] / n_pix
                     metrics["img_loss"] = sums_g["huber_sum"] / n_pix
+                    mu = sums_g["pred_sum"] / n_pix
+                    metrics["pred_std"] = jnp.sqrt(jnp.maximum(
+                        sums_g["pred_sq"] / n_pix - mu * mu, 0.0))
                 if p.use_lerf:
                     metrics["lang_loss"] = (
                         sums_g["lang_sum"]
@@ -682,6 +696,9 @@ class NeRFExecutor:
                         loss = loss + img_loss
                         metrics["mse"] = mse
                         metrics["img_loss"] = img_loss
+                        mu = jnp.sum(sums["pred_sum"]) / n_pix
+                        metrics["pred_std"] = jnp.sqrt(jnp.maximum(
+                            jnp.sum(sums["pred_sq"]) / n_pix - mu * mu, 0.0))
                         if use_tv:
                             loss = loss + tv_term(params, step, k_tv)
                     if p.use_lerf:
@@ -802,6 +819,20 @@ class NeRFExecutor:
         rays_done = 0
         profiler_ctx = None
         refit_pending = tp.bbox_refit_step > 0
+        # collapse auto-recovery (config.py auto_fine_*): watch the batch
+        # render's std; a near-constant render past the check step is the
+        # all-white/constant-fog basin pure-occupancy sampling can land in
+        # on thin geometry — engage the occ+importance hybrid (the thin-
+        # scene recipe) and rebuild the step. Never fires on healthy runs.
+        p0 = self.params
+        auto_pending = (p0.auto_fine_fallback and p0.use_nerf
+                        and p0.use_occupancy_grid and p0.n_importance == 0)
+        if auto_pending:
+            imgs = np.asarray(scene.images)
+            if np.issubdtype(imgs.dtype, np.integer):
+                imgs = imgs.astype(np.float32) / 255.0
+            gt_std = float(np.std(imgs[..., :3].astype(np.float32)))
+            next_check = max(int(p0.auto_fine_check_from), 1)
         i = self.start
         while i + 1 < tp.n_iters:
             if refit_pending and i >= tp.bbox_refit_step:
@@ -826,6 +857,24 @@ class NeRFExecutor:
             else:
                 state, metrics = train_step(state, sampler, key)
             i += k
+            if auto_pending and i >= next_check and "pred_std" in metrics:
+                ps = float(jax.device_get(metrics["pred_std"]))
+                if ps < p0.auto_fine_rel_std * gt_std:
+                    print(f"[TRAIN] collapse detected at step {i} "
+                          f"(batch render std {ps:.4f} vs GT {gt_std:.4f}): "
+                          f"engaging importance fine pass "
+                          f"(n_importance={p0.auto_fine_samples}, "
+                          f"tile budget off)")
+                    p0.n_importance = p0.auto_fine_samples
+                    p0.occ_tile_budget_frac = 0.0
+                    train_step = self._build_train_step(tp, mesh)
+                    train_many = (self._build_train_many(train_step)
+                                  if spc > 1 else None)
+                    auto_pending = False
+                else:
+                    next_check = i + max(int(p0.auto_fine_check_from), 1)
+                    if next_check > tp.n_iters // 2:
+                        auto_pending = False
             if profiler_ctx is not None and i >= self.start + 20:
                 jax.block_until_ready(metrics["loss"])
                 profiler_ctx.__exit__(None, None, None)

@@ -298,3 +298,55 @@ def test_bbox_refit_noop_when_tight():
     # grid is mostly occupied at init (uniform ones) -> idx spans everything
     assert ex.refit_bbox_from_grid() is False
     assert ex.state["params"]["embed"]["table"] is old_params_embed
+
+
+def test_auto_fine_fallback_engages_on_constant_render():
+    """Collapse auto-recovery (config.auto_fine_*): a near-constant batch
+    render past the check step must engage the occ+importance hybrid
+    (n_importance = auto_fine_samples, tile budget off), rebuild the step,
+    and keep training stably. Forced here with a threshold above any real
+    render std; the healthy-run case (never fires) is the flagship bench."""
+    from nerfpp_tpu.config import TrainParams, hashnerf_preset
+    from nerfpp_tpu.data.synthetic import make_synthetic_scene
+    from nerfpp_tpu.executor import NeRFExecutor
+
+    scene = make_synthetic_scene(n_train=2, n_val=1, n_test=1, image_hw=16)
+    p = hashnerf_preset(n_importance=0, log2_hashmap_size=10, n_levels=4,
+                        finest_resolution=32, use_occupancy_grid=True,
+                        occ_grid_resolution=16, occ_update_every=4,
+                        occ_n_bins=8, occ_tile_budget_frac=0.5,
+                        occ_ray_tile=16, occ_tile_budget_warmup=0,
+                        auto_fine_check_from=4, auto_fine_rel_std=1e9)
+    tp = TrainParams(n_samples=8, n_rand=64, n_iters=13, chunk=64,
+                     i_print=0, i_weights=0, i_testset=0, i_img=0,
+                     base_dir="/tmp/autofine_test", steps_per_call=4)
+    ex = NeRFExecutor(p)
+    ex.white_bkgr = scene.white_bkgr
+    ex.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+    m = ex.train(scene, tp)
+    assert np.isfinite(float(m["loss"]))
+    assert ex.params.n_importance == p.auto_fine_samples
+    assert ex.params.occ_tile_budget_frac == 0.0
+    assert int(ex.state["step"]) == 12
+
+
+def test_auto_fine_fallback_off_never_engages():
+    from nerfpp_tpu.config import TrainParams, hashnerf_preset
+    from nerfpp_tpu.data.synthetic import make_synthetic_scene
+    from nerfpp_tpu.executor import NeRFExecutor
+
+    scene = make_synthetic_scene(n_train=2, n_val=1, n_test=1, image_hw=16)
+    p = hashnerf_preset(n_importance=0, log2_hashmap_size=10, n_levels=4,
+                        finest_resolution=32, use_occupancy_grid=True,
+                        occ_grid_resolution=16, occ_update_every=4,
+                        occ_n_bins=8, auto_fine_fallback=False,
+                        auto_fine_check_from=2, auto_fine_rel_std=1e9)
+    tp = TrainParams(n_samples=8, n_rand=64, n_iters=9, chunk=64,
+                     i_print=0, i_weights=0, i_testset=0, i_img=0,
+                     base_dir="/tmp/autofine_test2", steps_per_call=4)
+    ex = NeRFExecutor(p)
+    ex.white_bkgr = scene.white_bkgr
+    ex.initialize(scene.bounding_box, tp.lrate_decay, seed=0)
+    m = ex.train(scene, tp)
+    assert np.isfinite(float(m["loss"]))
+    assert ex.params.n_importance == 0
