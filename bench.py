@@ -36,6 +36,12 @@ def _sync(jax, x):
     jax.tree.map(np.asarray, x)  # full sync through the device tunnel
 
 
+def _timed(jax, fn, *args):
+    t0 = time.perf_counter()
+    _sync(jax, fn(*args))
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -199,27 +205,43 @@ def main() -> None:
         gk = jax.random.normal(jax.random.PRNGKey(2),
                                (kpts.shape[0], enc_k.output_dims))
 
+        KREPS = 32
+
         @jax.jit
-        def fwd_loop(t, p, reps=8):
+        def fwd_loop(t, p, reps=KREPS):
             def body(c, _):
                 return c + 1e-6 * jnp.sum(
                     HB.hash_encode_blocked(t, p + c * 1e-7, enc_k)), None
             return jax.lax.scan(body, 0.0, None, length=reps)[0]
 
         @jax.jit
-        def bwd_loop(g, p, reps=8):
+        def bwd_loop(g, p, reps=KREPS):
             def body(c, _):
                 return c + 1e-9 * jnp.sum(
                     HB.hash_encode_blocked_bwd(g, p + c * 1e-7, enc_k)), None
             return jax.lax.scan(body, 0.0, None, length=reps)[0]
 
+        # per-dispatch floor (~25-35 ms through the device tunnel): measured
+        # with an empty same-length scan and subtracted — training amortizes
+        # dispatch over k-step scans, so the kernel rate should too (the
+        # pre-r5 8-rep loop under-reported both rates by ~3.4 ms/rep)
+        @jax.jit
+        def empty_loop(c0, reps=KREPS):
+            def body(c, _):
+                return c * 1.0000001 + 1e-9, None
+            return jax.lax.scan(body, c0, None, length=reps)[0]
+
+        _sync(jax, empty_loop(0.0))
+        floor = min(_timed(jax, empty_loop, 0.0) for _ in range(3))
         prof = {}
         for nm, fn, a in (("fwd", fwd_loop, tab), ("bwd", bwd_loop, gk)):
             _sync(jax, fn(a, kpts))
-            t0 = time.perf_counter()
-            _sync(jax, fn(a, kpts))
-            d = (time.perf_counter() - t0) / 8
+            d = (min(_timed(jax, fn, a, kpts) for _ in range(2))
+                 - floor) / KREPS
             prof[nm] = kpts.shape[0] / d / 1e6
+        extras["kernel_rate_method"] = (
+            f"min-of-2 k={KREPS} in-jit scans, empty-scan dispatch floor "
+            f"({floor*1e3:.1f} ms) subtracted")
         # useful-window floor on this batch (cost model: 44 ns/window + fixed)
         prep = HB._prepare(kpts, enc_k)
         wid_arr = np.asarray(prep[1]).reshape(-1, 128)
