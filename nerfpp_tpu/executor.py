@@ -236,13 +236,9 @@ class NeRFExecutor:
         new_box = np.concatenate([lo, hi]).astype(np.float32)
 
         p = self.params
-        keys = jax.random.split(jax.random.PRNGKey(seed), 2)
-        params = dict(self.state["params"])
         self.bounding_box = new_box
         if p.use_nerf:
             self.embedder = self._build_embedder(new_box)
-            if hasattr(self.embedder, "init"):
-                params["embed"] = self.embedder.init(keys[0])
         if p.use_lerf:
             self.lang_embedder = HashGridEncoder(
                 new_box, p.n_levels_le, p.n_features_per_level_le,
@@ -250,6 +246,66 @@ class NeRFExecutor:
                 p.finest_resolution_le, scheme=p.hash_scheme, primes_seed=1,
                 use_pallas=(p.use_pallas_encoder
                             and p.hash_scheme == "blocked"))
+        self._reinit_position_state(seed)
+        diag = np.linalg.norm(new_box[3:] - new_box[:3])
+        self.sp_alpha0 = float(0.02 * diag)
+        print(f"bbox refit: {np.round(old.reshape(-1), 2).tolist()} -> "
+              f"{np.round(new_box, 2).tolist()} "
+              f"({old_vol / new_vol:.1f}x volume shrink)")
+        return True
+
+    def _restart_state(self, seed: int = 23) -> None:
+        """Full from-scratch state restart: fresh params (tables AND MLPs),
+        fresh optimizer, uniform occupancy grid, step counter back to 0 —
+        no checkpoint restore, same embedder identities and bbox.
+
+        Used by the collapse auto-recovery: a field locked into the
+        all-white/constant optimum does not escape by sampling alone
+        (measured: engaging the fine pass at step 300 still lands at the
+        13.59 dB optimum — the collapsed density is what the fine-pass CDF
+        feeds on), and a tables-only re-init that keeps the step counter
+        skips the occupancy full-refresh warmup and restarts mid-anneal
+        (measured 24.1/18.4 dB vs 26.4/25.6 from scratch). Step 0 restores
+        the exact from-scratch schedule dynamics under the new config.
+        """
+        p = self.params
+        keys = jax.random.split(jax.random.PRNGKey(seed), 4)
+        params: Dict[str, Any] = {}
+        if p.use_nerf:
+            params["embed"] = (self.embedder.init(keys[0])
+                               if hasattr(self.embedder, "init") else {})
+            params["model"] = self.model.init(keys[1])
+        if p.use_lerf:
+            params["lang_embed"] = self.lang_embedder.init(keys[2])
+            params["lang_model"] = self.lang_model.init(keys[3])
+        self.state = {"params": params, "opt_state": self.tx.init(params),
+                      "step": jnp.zeros((), jnp.int32)}
+        if p.use_nerf and p.use_occupancy_grid:
+            from nerfpp_tpu.core.occupancy import make_occupancy_grid
+            self.state["occupancy"] = make_occupancy_grid(
+                p.occ_grid_resolution)
+        self._render_cache = {}
+        if hasattr(self, "_probe_cache"):
+            self._probe_cache = {}
+        if hasattr(self, "_auto_frac_cache"):
+            self._auto_frac_cache = {}
+
+    def _reinit_position_state(self, seed: int = 17) -> None:
+        """Re-initialize the position-keyed state in place.
+
+        Embedder tables get a fresh init, the occupancy grid goes back to
+        uniform, and the tables' Adam moments are zeroed — while the MLPs,
+        the annealing schedules, and the step counter are kept (supervision
+        is unchanged, so the field re-converges in a few hundred steps).
+        Used by the bbox refit (tables are keyed to the old box; the MLPs
+        and schedules carry real convergence worth keeping).
+        """
+        p = self.params
+        keys = jax.random.split(jax.random.PRNGKey(seed), 2)
+        params = dict(self.state["params"])
+        if p.use_nerf and hasattr(self.embedder, "init"):
+            params["embed"] = self.embedder.init(keys[0])
+        if p.use_lerf and getattr(self, "lang_embedder", None) is not None:
             params["lang_embed"] = self.lang_embedder.init(keys[1])
 
         # table shapes are bbox-independent, so the optimizer state's
@@ -273,18 +329,12 @@ class NeRFExecutor:
             new_state["occupancy"] = make_occupancy_grid(
                 p.occ_grid_resolution)
         self.state = new_state
-        diag = np.linalg.norm(new_box[3:] - new_box[:3])
-        self.sp_alpha0 = float(0.02 * diag)
-        # jitted render/probe caches close over the old bbox/encoder
+        # jitted render/probe caches close over the old encoder identity
         self._render_cache = {}
         if hasattr(self, "_probe_cache"):
             self._probe_cache = {}
         if hasattr(self, "_auto_frac_cache"):
             self._auto_frac_cache = {}
-        print(f"bbox refit: {np.round(old.reshape(-1), 2).tolist()} -> "
-              f"{np.round(new_box, 2).tolist()} "
-              f"({old_vol / new_vol:.1f}x volume shrink)")
-        return True
 
     # ------------------------------------------------------------- closures
 
@@ -862,11 +912,17 @@ class NeRFExecutor:
                 if ps < p0.auto_fine_rel_std * gt_std:
                     print(f"[TRAIN] collapse detected at step {i} "
                           f"(batch render std {ps:.4f} vs GT {gt_std:.4f}): "
-                          f"engaging importance fine pass "
+                          f"restarting field with importance fine pass "
                           f"(n_importance={p0.auto_fine_samples}, "
                           f"tile budget off)")
                     p0.n_importance = p0.auto_fine_samples
                     p0.occ_tile_budget_frac = 0.0
+                    # full restart (see _restart_state): the collapsed field
+                    # holds nothing worth keeping, and step 0 restores the
+                    # from-scratch warmup/anneal dynamics the hybrid's
+                    # 26 dB basin was measured under
+                    self._restart_state()
+                    state = self.state
                     train_step = self._build_train_step(tp, mesh)
                     train_many = (self._build_train_many(train_step)
                                   if spc > 1 else None)
